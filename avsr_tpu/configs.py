@@ -1,0 +1,371 @@
+"""Typed configuration system for avsr_tpu.
+
+The reference (georgesterpu/avsr-tf1) has no flag library: experiments are
+Python scripts instantiating ``AVSR(**kwargs)`` with literal hyperparameters
+(SURVEY.md §5.6, §3.5).  This module preserves that knob set as typed,
+layer-scoped dataclasses so that reference hyperparameters can be replicated
+exactly, while giving the new framework a proper config surface.
+
+Knob-name parity with the reference constructor surface (SURVEY.md §3.5):
+unit type + unit file, record paths per modality, architecture switch
+(``audio`` / ``video`` / ``av_align`` / ``bimodal``), encoder layer sizes and
+bidirectionality, decoder size, attention type, embedding size, batch size,
+learning rate + decay, dropout, scheduled-sampling probability, beam width,
+max label length, SNR/noise selection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+Architecture = str  # "audio" | "video" | "av_align" | "bimodal"
+
+
+@dataclass(frozen=True)
+class AudioFrontendConfig:
+    """Waveform -> log-mel (or spectrogram) features, in-graph.
+
+    Mirrors the reference's in-graph tf.signal pipeline
+    (upstream:avsr/audio.py, SURVEY.md §2.2 row 8): STFT -> mel filterbank ->
+    log, then frame stacking and delta features.
+    """
+
+    sample_rate: int = 16_000
+    frame_length_ms: float = 25.0
+    frame_step_ms: float = 10.0
+    fft_length: int = 512
+    num_mel_bins: int = 30
+    mel_lower_hz: float = 80.0
+    mel_upper_hz: float = 7_600.0
+    feature_type: str = "logmel"  # "logmel" | "spectrogram"
+    # Stack this many consecutive frames into each feature vector (>=1).
+    frame_stacking: int = 8
+    # Hop between stacked frames (downsampling factor after stacking).
+    frame_skipping: int = 3
+    # Append delta / delta-delta coefficients computed before stacking.
+    add_deltas: bool = True
+    delta_window: int = 2
+    # Per-feature normalization: "none" | "global" | "per_utterance"
+    normalization: str = "per_utterance"
+    # Floor used inside log(mel + eps).
+    log_floor: float = 1e-6
+
+    @property
+    def frame_length(self) -> int:
+        return int(self.sample_rate * self.frame_length_ms / 1000.0)
+
+    @property
+    def frame_step(self) -> int:
+        return int(self.sample_rate * self.frame_step_ms / 1000.0)
+
+    @property
+    def base_dim(self) -> int:
+        if self.feature_type == "spectrogram":
+            d = self.fft_length // 2 + 1
+        else:
+            d = self.num_mel_bins
+        if self.add_deltas:
+            d *= 3
+        return d
+
+    @property
+    def output_dim(self) -> int:
+        return self.base_dim * self.frame_stacking
+
+
+@dataclass(frozen=True)
+class VideoFrontendConfig:
+    """Per-frame CNN over lip-ROI crops (upstream:avsr/video.py, SURVEY §2.2 row 9)."""
+
+    roi_height: int = 36
+    roi_width: int = 36
+    channels: int = 1
+    # Conv stack: (out_channels, kernel, stride) per layer.
+    conv_channels: Tuple[int, ...] = (8, 16, 32)
+    conv_kernel: int = 3
+    conv_stride: int = 2
+    embedding_dim: int = 128
+    # Alternative visual-feature path: precomputed OpenFace action units
+    # (TASLP-2020 variant).  When set, the CNN is bypassed and AU feature
+    # vectors are consumed directly.
+    use_au_features: bool = False
+    au_dim: int = 2  # AU intensity vector size when use_au_features
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Stacked (Bi)LSTM encoder (upstream:avsr/encoder.py, SURVEY §2.2 row 3)."""
+
+    cell_type: str = "lstm"  # "lstm" | "gru"
+    hidden_units: Tuple[int, ...] = (256, 256, 256)
+    bidirectional: bool = True
+    dropout_rate: float = 0.1  # per-layer output dropout, train only
+    recurrent_dropout_rate: float = 0.0
+    # residual connections between stacked layers where dims match
+    residual: bool = False
+    layer_norm: bool = False
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """AV-Align cross-modal attention (arXiv:1809.01728; SURVEY §2.2 row 4).
+
+    The top audio-encoder LSTM attends over video-encoder outputs at every
+    audio timestep; the attended visual context is concatenated with the audio
+    state to form the decoder memory.  The TASLP-2020 variant adds an
+    action-unit regression head on the attended context.
+    """
+
+    attention_type: str = "bahdanau"  # "bahdanau" | "luong"
+    attention_units: int = 128
+    # Auxiliary AU-regression loss weight (0 disables; TASLP-2020 uses > 0).
+    au_loss_weight: float = 0.0
+    au_dim: int = 2
+    # Feed the attended context into the next audio-LSTM step input
+    # (input feeding), matching AttentionWrapper semantics.
+    input_feeding: bool = True
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Attention character decoder (upstream:avsr/decoder_unimodal.py, §2.2 row 5)."""
+
+    embedding_dim: int = 128
+    hidden_units: Tuple[int, ...] = (256,)
+    attention_type: str = "bahdanau"  # "bahdanau" | "luong"
+    attention_units: int = 128
+    dropout_rate: float = 0.1
+    # Scheduled sampling probability: probability of feeding the model's own
+    # sampled prediction instead of the gold token at each step (0 = pure
+    # teacher forcing, 1 = free running).
+    sampling_probability: float = 0.0
+    # Maximum label length (static decode horizon).
+    max_label_length: int = 150
+    # Tie input embedding and output projection weights.
+    tie_embeddings: bool = False
+    # Bimodal decoder: attend over audio and video memories with two
+    # attention mechanisms (upstream:avsr/decoder_bimodal.py, §2.2 row 6).
+    bimodal: bool = False
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    """SNR-controlled additive-noise robustness training (SURVEY §5.9).
+
+    The reference mixed babble/cafe noise into fixed noisy TFRecord copies at
+    dataset-writing time; this framework mixes ON DEVICE inside the jitted
+    step, sampling a noise segment and SNR per example.
+    """
+
+    enabled: bool = False
+    noise_types: Tuple[str, ...] = ("babble", "cafe")
+    # Training SNRs sampled uniformly from this set; "clean" is encoded as
+    # +inf handled via probability below.
+    snr_db: Tuple[float, ...] = (-5.0, 0.0, 10.0, 20.0)
+    # Probability an example is left clean during training.
+    clean_probability: float = 0.2
+    # Fixed SNR for deterministic evaluation (None = clean eval).
+    eval_snr_db: Optional[float] = None
+    eval_noise_type: str = "babble"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (upstream:avsr/io_utils.py, SURVEY §2.2 row 10)."""
+
+    unit: str = "character"  # "character" | "phoneme" | "viseme"
+    unit_file: Optional[str] = None  # path to symbol table; None = builtin
+    audio_train_records: Optional[str] = None
+    audio_eval_records: Optional[str] = None
+    video_train_records: Optional[str] = None
+    video_eval_records: Optional[str] = None
+    batch_size: int = 32
+    shuffle_buffer: int = 4096
+    # Static-shape length bucketing: audio-frame bucket boundaries.  Each
+    # batch is padded to its bucket's (T_audio, T_video, label_len) maxima.
+    audio_bucket_boundaries: Tuple[int, ...] = (200, 400, 800, 1200, 1600)
+    video_fps: float = 25.0
+    max_audio_seconds: float = 16.0
+    max_label_length: int = 150
+    num_workers: int = 0  # host-side parallel parse workers (0 = inline)
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + loop (upstream:avsr/avsr.py train path, SURVEY §2.2 rows 1-2)."""
+
+    learning_rate: float = 1e-3
+    lr_decay: float = 0.0  # exponential decay rate per epoch (0 = constant)
+    lr_schedule: str = "constant"  # "constant" | "exponential" | "cosine" | "warmup_cosine"
+    warmup_steps: int = 0
+    optimizer: str = "adam"  # "adam" | "adamw" | "sgd" | "lamb"
+    max_gradient_norm: float = 1.0  # clip_by_global_norm
+    weight_decay: float = 0.0
+    label_smoothing: float = 0.0
+    num_epochs: int = 100
+    # Mixed precision: bf16 matmul/activations with fp32 params + state.
+    compute_dtype: str = "bfloat16"  # "bfloat16" | "float32"
+    # Rematerialization policy for the encoder/decoder scans.
+    remat: bool = False
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 5
+    save_every_steps: int = 0  # 0 = per-epoch only
+    eval_every_epochs: int = 1
+    log_every_steps: int = 50
+    seed: int = 42
+    # Device mesh: data parallelism over this many devices (1-D mesh).
+    num_data_shards: int = 1
+    # Extra mesh axes kept for forward-compat (TP is a sharding away).
+    num_model_shards: int = 1
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    """Beam / greedy decoding (SURVEY §3.2)."""
+
+    beam_width: int = 10
+    length_penalty: float = 0.0  # Google-NMT length normalization alpha
+    max_decode_length: int = 150
+    coverage_penalty: float = 0.0
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """One experiment = the full knob set of the reference's AVSR constructor."""
+
+    architecture: Architecture = "audio"  # audio | video | av_align | bimodal
+    audio: AudioFrontendConfig = field(default_factory=AudioFrontendConfig)
+    video: VideoFrontendConfig = field(default_factory=VideoFrontendConfig)
+    audio_encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    video_encoder: EncoderConfig = field(
+        default_factory=lambda: EncoderConfig(hidden_units=(256,))
+    )
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    noise: NoiseConfig = field(default_factory=NoiseConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    name: str = "experiment"
+
+    # ---- (de)serialization ----------------------------------------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kw: Any) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ExperimentConfig":
+        return _dataclass_from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kw: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+    def override(self, dotted: dict) -> "ExperimentConfig":
+        """Override leaves by dotted path, e.g. {"train.learning_rate": 3e-4}."""
+        d = self.to_dict()
+        for key, value in dotted.items():
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"unknown config key: {key}")
+            node[leaf] = value
+        return ExperimentConfig.from_dict(d)
+
+
+def _dataclass_from_dict(cls: type, d: dict) -> Any:
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
+            v = _dataclass_from_dict(f.type, v)
+        elif isinstance(f.type, str):
+            # Deferred annotations: resolve the few nested dataclasses by name.
+            nested = _NESTED.get(f.type)
+            if nested is not None and isinstance(v, dict):
+                v = _dataclass_from_dict(nested, v)
+        if isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    "AudioFrontendConfig": AudioFrontendConfig,
+    "VideoFrontendConfig": VideoFrontendConfig,
+    "EncoderConfig": EncoderConfig,
+    "FusionConfig": FusionConfig,
+    "DecoderConfig": DecoderConfig,
+    "NoiseConfig": NoiseConfig,
+    "DataConfig": DataConfig,
+    "TrainConfig": TrainConfig,
+    "DecodeConfig": DecodeConfig,
+}
+
+
+# ---------------------------------------------------------------------------
+# Canned experiment configs matching the reference regimes
+# [BASELINE.json:configs].
+# ---------------------------------------------------------------------------
+
+
+def audio_only_tcdtimit() -> ExperimentConfig:
+    """Audio-only: log-mel -> BiLSTM encoder -> attention char decoder."""
+    return ExperimentConfig(architecture="audio", name="audio_tcdtimit")
+
+
+def video_only_tcdtimit() -> ExperimentConfig:
+    """Visual-only lip-reading: lip-ROI CNN -> seq2seq decoder."""
+    return ExperimentConfig(architecture="video", name="video_tcdtimit")
+
+
+def av_align_tcdtimit() -> ExperimentConfig:
+    """AV-Align cross-modal attention between audio and video encoders."""
+    return ExperimentConfig(architecture="av_align", name="av_align_tcdtimit")
+
+
+def av_align_noisy() -> ExperimentConfig:
+    """Noise-robust AV training: babble/cafe at {-5,0,10,20} dB with AV-Align."""
+    return ExperimentConfig(
+        architecture="av_align",
+        noise=NoiseConfig(enabled=True),
+        name="av_align_noisy",
+    )
+
+
+def lrs2_full() -> ExperimentConfig:
+    """Full LRS2 pipeline: large-vocab char targets, scheduled sampling,
+    width-10 beam search decode."""
+    return ExperimentConfig(
+        architecture="av_align",
+        decoder=DecoderConfig(sampling_probability=0.1, max_label_length=150),
+        fusion=FusionConfig(au_loss_weight=10.0),
+        decode=DecodeConfig(beam_width=10),
+        name="lrs2_av_align",
+    )
+
+
+PRESETS = {
+    "audio_tcdtimit": audio_only_tcdtimit,
+    "video_tcdtimit": video_only_tcdtimit,
+    "av_align_tcdtimit": av_align_tcdtimit,
+    "av_align_noisy": av_align_noisy,
+    "lrs2_av_align": lrs2_full,
+}

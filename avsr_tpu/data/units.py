@@ -1,0 +1,126 @@
+"""Unit dictionaries: symbol tables mapping transcription units <-> ids.
+
+The reference ships plain-text symbol tables (character list incl. GO/EOS,
+viseme/phoneme lists for the TCD-TIMIT protocols) under upstream:avsr/misc/
+(SURVEY.md §2.2 row 13).  This module provides the same capability: load a
+unit file, or fall back to built-in character / phoneme / viseme inventories,
+and encode/decode label sequences with GO/EOS handling
+(upstream:avsr/io_utils.py label-id path, SURVEY §2.2 row 10).
+
+Id conventions (fixed, relied on across the framework):
+  0 = PAD, 1 = GO (decoder start), 2 = EOS (decoder stop / label terminator).
+Real units start at 3.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence
+
+PAD_ID = 0
+GO_ID = 1
+EOS_ID = 2
+
+PAD = "<pad>"
+GO = "<go>"
+EOS = "<eos>"
+
+_SPECIALS = [PAD, GO, EOS]
+
+# English character inventory used by the reference's character models
+# (lowercase letters, space, apostrophe).
+_CHARACTERS = list("abcdefghijklmnopqrstuvwxyz") + [" ", "'"]
+
+# ARPAbet-style phoneme inventory (TCD-TIMIT protocol set, reduced 39).
+_PHONEMES = (
+    "aa ae ah aw ay b ch d dh eh er ey f g hh ih iy jh k l m n ng ow oy p r s"
+    " sh sil t th uh uw v w y z zh"
+).split()
+
+# Viseme inventory for the TCD-TIMIT viseme protocol (Neti et al. clustering).
+_VISEMES = "A B C D E F G H S V sil".split()
+
+
+class UnitDict:
+    """Bidirectional unit <-> id table with PAD/GO/EOS bookkeeping."""
+
+    def __init__(self, units: Sequence[str], unit_type: str = "character"):
+        self.unit_type = unit_type
+        self.idx_to_unit: List[str] = list(_SPECIALS) + list(units)
+        self.unit_to_idx = {u: i for i, u in enumerate(self.idx_to_unit)}
+        if len(self.unit_to_idx) != len(self.idx_to_unit):
+            raise ValueError("duplicate units in unit dictionary")
+
+    # -- size ---------------------------------------------------------------
+    @property
+    def vocab_size(self) -> int:
+        return len(self.idx_to_unit)
+
+    def __len__(self) -> int:
+        return self.vocab_size
+
+    # -- encode / decode ------------------------------------------------------
+    def tokenize(self, transcript: str) -> List[str]:
+        if self.unit_type == "character":
+            return list(transcript.lower())
+        return transcript.strip().split()
+
+    def encode(self, transcript: str, add_eos: bool = True) -> List[int]:
+        """Transcript -> ids.  Unknown units are skipped (reference behavior:
+        record writers filtered transcripts to the unit inventory)."""
+        ids = [
+            self.unit_to_idx[t]
+            for t in self.tokenize(transcript)
+            if t in self.unit_to_idx
+        ]
+        if add_eos:
+            ids.append(EOS_ID)
+        return ids
+
+    def decode(self, ids: Iterable[int], stop_at_eos: bool = True) -> str:
+        units: List[str] = []
+        for i in ids:
+            i = int(i)
+            if i == EOS_ID and stop_at_eos:
+                break
+            if i in (PAD_ID, GO_ID, EOS_ID):
+                continue
+            if 0 <= i < len(self.idx_to_unit):
+                units.append(self.idx_to_unit[i])
+        if self.unit_type == "character":
+            return "".join(units)
+        return " ".join(units)
+
+    # -- io -------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            for u in self.idx_to_unit[len(_SPECIALS):]:
+                f.write(u + "\n")
+
+    @classmethod
+    def load(cls, path: str, unit_type: str = "character") -> "UnitDict":
+        units: List[str] = []
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                # Tolerate "unit id" two-column tables as well as one-per-line.
+                if " " in line and unit_type != "character":
+                    line = line.split()[0]
+                if line and line not in _SPECIALS:
+                    units.append(line)
+        return cls(units, unit_type)
+
+
+def builtin_unit_dict(unit_type: str = "character") -> UnitDict:
+    if unit_type == "character":
+        return UnitDict(_CHARACTERS, "character")
+    if unit_type == "phoneme":
+        return UnitDict(_PHONEMES, "phoneme")
+    if unit_type == "viseme":
+        return UnitDict(_VISEMES, "viseme")
+    raise ValueError(f"unknown unit type: {unit_type}")
+
+
+def load_or_builtin(unit_file: Optional[str], unit_type: str) -> UnitDict:
+    if unit_file:
+        return UnitDict.load(unit_file, unit_type)
+    return builtin_unit_dict(unit_type)

@@ -1,0 +1,172 @@
+"""Batched width-K beam search, fully on device with static shapes.
+
+Rebuild of the reference's ``BeamSearchDecoder`` + C++ ``gather_tree`` decode
+path (tf.contrib.seq2seq; SURVEY.md §2.3 row 4, §3.2) as pure JAX:
+
+  * beams are folded into the batch axis ([B*W] flat) so every decoder step
+    is one batched MXU pass over all beams;
+  * candidate expansion is ``lax.top_k`` over the W*V score matrix;
+  * beam-state reshuffling is a device-side gather on the DecoderState pytree;
+  * finished beams continue with EOS-only, zero-added-score candidates;
+  * Google-NMT length normalization ((5+len)/6)^alpha is applied to the
+    scores used for top-k, matching TF1 BeamSearchDecoder semantics;
+  * the (token, parent) trellis is recorded per step and the winning
+    hypothesis is reconstructed by a reverse scan — ``gather_tree`` in JAX.
+
+Correctness is pinned by tests/test_beam.py: with beam width >= the number
+of possible sequences on a toy vocabulary, beam search must return the exact
+argmax sequence found by exhaustive search (SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.configs import DecoderConfig
+from avsr_tpu.data.units import EOS_ID, GO_ID, PAD_ID
+from avsr_tpu.models import decoder as dec
+from avsr_tpu.ops import attention as attn
+
+NEG_INF = -1.0e30
+
+
+class BeamResult(NamedTuple):
+    ids: jnp.ndarray      # [B, L] best hypothesis, PAD after EOS
+    lengths: jnp.ndarray  # [B] tokens incl. EOS
+    scores: jnp.ndarray   # [B] length-normalized log prob of the winner
+
+
+def _length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
+    if alpha == 0.0:
+        return jnp.ones_like(lengths, jnp.float32)
+    return jnp.power((5.0 + lengths.astype(jnp.float32)) / 6.0, alpha)
+
+
+def _tile_memory(mem: attn.AttentionMemory, width: int) -> attn.AttentionMemory:
+    """[B, ...] -> [B*W, ...] with beams contiguous per batch row."""
+    def tile(x):
+        return jnp.repeat(x, width, axis=0)
+
+    return attn.AttentionMemory(
+        values=tile(mem.values), keys=tile(mem.keys),
+        mask=tile(mem.mask), bias=tile(mem.bias),
+    )
+
+
+def beam_search(
+    params,
+    cfg: DecoderConfig,
+    memories: Sequence[attn.AttentionMemory],
+    max_length: int,
+    *,
+    beam_width: int = 10,
+    length_penalty: float = 0.0,
+    compute_dtype=jnp.bfloat16,
+) -> BeamResult:
+    """Run width-K beam search over preprocessed attention memories."""
+    B = memories[0].values.shape[0]
+    W = beam_width
+    memory_dims = [m.values.shape[-1] for m in memories]
+    tiled = [_tile_memory(m, W) for m in memories]
+
+    state0 = dec.initial_state(cfg, B * W, memory_dims)
+    tok0 = jnp.full((B, W), GO_ID, jnp.int32)
+    # Only beam 0 is live at step 0 (all beams start identical).
+    logp0 = jnp.tile(
+        jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), jnp.full((W - 1,), NEG_INF)]
+        )[None, :],
+        (B, 1),
+    )
+    finished0 = jnp.zeros((B, W), bool)
+    len0 = jnp.zeros((B, W), jnp.int32)
+
+    batch_offset = (jnp.arange(B, dtype=jnp.int32) * W)[:, None]  # [B, 1]
+
+    def step(carry, _):
+        state, tok, logp, finished, lens = carry
+        state, logits = dec.decoder_step(
+            params, cfg, tok.reshape(B * W), state, tiled,
+            compute_dtype=compute_dtype,
+        )
+        V = logits.shape[-1]
+        step_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, W, V)
+
+        # Finished beams: only EOS continues, contributing 0 log prob.
+        eos_only = jnp.full((V,), NEG_INF).at[EOS_ID].set(0.0)
+        step_logp = jnp.where(
+            finished[:, :, None], eos_only[None, None, :], step_logp
+        )
+
+        cand_logp = logp[:, :, None] + step_logp                 # [B, W, V]
+        cand_lens = lens[:, :, None] + jnp.where(
+            finished[:, :, None], 0, 1
+        )                                                         # [B, W, V]
+        cand_scores = cand_logp / _length_penalty(cand_lens, length_penalty)
+
+        flat_scores = cand_scores.reshape(B, W * V)
+        _, flat_idx = jax.lax.top_k(flat_scores, W)               # [B, W]
+        parent = (flat_idx // V).astype(jnp.int32)
+        token = (flat_idx % V).astype(jnp.int32)
+
+        gather_bw = lambda x: jnp.take_along_axis(x, parent, axis=1)
+        new_logp = jnp.take_along_axis(
+            cand_logp.reshape(B, W * V), flat_idx, axis=1
+        )
+        new_lens = jnp.take_along_axis(
+            cand_lens.reshape(B, W * V), flat_idx, axis=1
+        )
+        was_finished = gather_bw(finished)
+        new_finished = jnp.logical_or(was_finished, token == EOS_ID)
+
+        flat_parent = (batch_offset + parent).reshape(B * W)
+        new_state = jax.tree_util.tree_map(lambda x: x[flat_parent], state)
+
+        feed = jnp.where(was_finished, EOS_ID, token)
+        return (
+            (new_state, feed, new_logp, new_finished, new_lens),
+            (token, parent),
+        )
+
+    (_, _, logp_f, finished_f, lens_f), (tokens_t, parents_t) = jax.lax.scan(
+        step, (state0, tok0, logp0, finished0, len0), None, length=max_length
+    )
+    # tokens_t/parents_t: [L, B, W]
+
+    # Final ranking: normalized score, strongly preferring finished beams
+    # when any beam in the row finished.
+    final_scores = logp_f / _length_penalty(lens_f, length_penalty)
+    any_finished = jnp.any(finished_f, axis=1, keepdims=True)
+    eff = jnp.where(
+        jnp.logical_or(finished_f, ~any_finished), final_scores, NEG_INF
+    )
+    best_beam = jnp.argmax(eff, axis=1).astype(jnp.int32)  # [B]
+    best_score = jnp.take_along_axis(eff, best_beam[:, None], axis=1)[:, 0]
+    best_len = jnp.take_along_axis(lens_f, best_beam[:, None], axis=1)[:, 0]
+
+    # gather_tree: backtrack the (token, parent) trellis from the best leaf.
+    def back(beam, inp):
+        tok_l, par_l = inp  # [B, W] each
+        t = jnp.take_along_axis(tok_l, beam[:, None], axis=1)[:, 0]
+        prev = jnp.take_along_axis(par_l, beam[:, None], axis=1)[:, 0]
+        return prev, t
+
+    _, ids_rev = jax.lax.scan(
+        back, best_beam, (tokens_t, parents_t), reverse=True
+    )
+    # reverse=True emits ys in forward-time order already.
+    ids = ids_rev.T  # [B, L]
+
+    # PAD everything after the first EOS (finished beams kept feeding EOS).
+    L = ids.shape[1]
+    pos = jnp.arange(L)[None, :]
+    is_eos = ids == EOS_ID
+    any_eos = jnp.any(is_eos, axis=1, keepdims=True)
+    first_eos = jnp.argmax(is_eos, axis=1, keepdims=True)
+    cut = jnp.where(any_eos, first_eos, L - 1)
+    ids = jnp.where(pos > cut, PAD_ID, ids)
+
+    return BeamResult(ids=ids, lengths=best_len, scores=best_score)

@@ -1,0 +1,91 @@
+"""Stacked (Bi)LSTM sequence encoder.
+
+TPU-native rebuild of the reference's ``Seq2SeqEncoder``
+(upstream:avsr/encoder.py + avsr/cells.py, SURVEY.md §2.2 rows 3/7):
+stacked LSTM/GRU layers via fused-gate ``lax.scan`` (avsr_tpu/ops/rnn.py),
+optional bidirectionality per layer, per-layer output dropout, optional
+residual connections.  Works on time-major [T, B, D] tensors throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.configs import EncoderConfig
+from avsr_tpu.ops import rnn
+from avsr_tpu.utils.params import Params
+
+
+def encoder_init(key, cfg: EncoderConfig, input_dim: int, dtype=jnp.float32) -> Params:
+    layers = []
+    d = input_dim
+    keys = jax.random.split(key, len(cfg.hidden_units))
+    for k, h in zip(keys, cfg.hidden_units):
+        if cfg.bidirectional:
+            kf, kb = jax.random.split(k)
+            layers.append(
+                {
+                    "fwd": rnn.cell_init(cfg.cell_type, kf, d, h, dtype),
+                    "bwd": rnn.cell_init(cfg.cell_type, kb, d, h, dtype),
+                }
+            )
+            d = 2 * h
+        else:
+            layers.append({"fwd": rnn.cell_init(cfg.cell_type, k, d, h, dtype)})
+            d = h
+    return {"layers": layers}
+
+
+def encoder_output_dim(cfg: EncoderConfig) -> int:
+    h = cfg.hidden_units[-1]
+    return 2 * h if cfg.bidirectional else h
+
+
+def encoder_apply(
+    params: Params,
+    cfg: EncoderConfig,
+    x_tbd: jnp.ndarray,
+    lengths: jnp.ndarray,
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Tuple]:
+    """Encode a time-major feature sequence.
+
+    Args:
+      x_tbd: [T, B, D] features.
+      lengths: [B] int32 valid step counts.
+
+    Returns:
+      (outputs [T, B, H_out] fp32 with zeros at padded steps,
+       final state of the last layer).
+    """
+    T, B, _ = x_tbd.shape
+    mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
+    h = x_tbd
+    final_state = None
+    for i, layer in enumerate(params["layers"]):
+        prev = h
+        if cfg.bidirectional:
+            h, final_state = rnn.bidirectional_scan(
+                cfg.cell_type, layer["fwd"], layer["bwd"], h, mask,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            h, final_state = rnn.rnn_scan(
+                cfg.cell_type, layer["fwd"], h, mask, compute_dtype=compute_dtype
+            )
+        if cfg.residual and prev.shape[-1] == h.shape[-1]:
+            h = h + prev
+        if train and cfg.dropout_rate > 0.0 and dropout_rng is not None:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            keep = 1.0 - cfg.dropout_rate
+            drop_mask = jax.random.bernoulli(sub, keep, h.shape).astype(h.dtype)
+            h = h * drop_mask / keep
+    # Re-zero padded steps (residual/dropout can reintroduce nonzeros).
+    h = h * mask[:, :, None]
+    return h, final_state

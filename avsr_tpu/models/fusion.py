@@ -1,0 +1,169 @@
+"""AV-Align cross-modal fusion encoder.
+
+Mechanism (arXiv:1809.01728; SURVEY.md §2.2 row 4, §3.4): the TOP audio
+LSTM attends over the video encoder's output states at every audio timestep;
+the attended visual context c_t is concatenated with the audio output to form
+the fused memory the decoder attends over:
+
+    for t in 1..T_a:
+        alpha_t = attention(audio_state_t, V)        # Bahdanau-scored
+        c_t     = sum_i alpha_ti * V_i
+        fused_t = [audio_out_t ; c_t]
+
+The TASLP-2020 variant adds an action-unit regression head on c_t so the
+cross-modal alignment becomes meaningful on harder data (LRS2).
+
+TPU design: one ``lax.scan`` over audio time carrying (h, c, prev_context);
+the video memory keys are projected ONCE before the scan; the audio-input
+projection x@Wx is hoisted out of the scan; only the recurrent matmul, the
+context-input projection, and the attention read run per step.  Input
+feeding (attended context into the next LSTM step input) matches TF1
+``AttentionWrapper`` semantics and is config-gated.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.configs import FusionConfig
+from avsr_tpu.ops import attention as attn
+from avsr_tpu.ops import rnn
+from avsr_tpu.utils.params import Params, glorot_uniform
+
+
+class AVAlignOutput(NamedTuple):
+    fused: jnp.ndarray          # [T_a, B, H_a + H_v] fused decoder memory
+    alignments: jnp.ndarray     # [T_a, B, T_v] cross-modal attention weights
+    au_predictions: Optional[jnp.ndarray]  # [T_a, B, au_dim] or None
+
+
+def av_align_init(
+    key,
+    cfg: FusionConfig,
+    audio_input_dim: int,
+    audio_hidden: int,
+    video_dim: int,
+    dtype=jnp.float32,
+) -> Params:
+    k_cell, k_ctx, k_att, k_au = jax.random.split(key, 4)
+    params: Params = {
+        # Top audio LSTM cell; its x-projection covers only the acoustic
+        # input — the context input has its own projection so the x part can
+        # be hoisted out of the scan.
+        "cell": rnn.lstm_init(k_cell, audio_input_dim, audio_hidden, dtype),
+        "att": attn.attention_init(
+            cfg.attention_type, k_att, audio_hidden, video_dim,
+            cfg.attention_units, dtype,
+        ),
+    }
+    if cfg.input_feeding:
+        params["ctx_proj"] = glorot_uniform(
+            k_ctx, (video_dim, 4 * audio_hidden), dtype
+        )
+    if cfg.au_loss_weight > 0.0:
+        params["au_w"] = glorot_uniform(k_au, (video_dim, cfg.au_dim), dtype)
+        params["au_b"] = jnp.zeros((cfg.au_dim,), dtype)
+    return params
+
+
+def av_align_apply(
+    params: Params,
+    cfg: FusionConfig,
+    audio_tbd: jnp.ndarray,
+    audio_lengths: jnp.ndarray,
+    video_memory: jnp.ndarray,
+    video_lengths: jnp.ndarray,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> AVAlignOutput:
+    """Run the cross-modal attention audio encoder layer.
+
+    Args:
+      audio_tbd: [T_a, B, D] output of the lower audio encoder layers
+        (time-major).
+      video_memory: [B, T_v, H_v] video encoder outputs (batch-major memory).
+
+    Returns fused memory (time-major), alignments, and AU predictions.
+    """
+    T_a, B, _ = audio_tbd.shape
+    H = params["cell"]["wh"].shape[0]
+    Hv = video_memory.shape[-1]
+
+    mem = attn.prepare_memory(
+        cfg.attention_type, params["att"], video_memory, video_lengths,
+        compute_dtype=compute_dtype,
+    )
+    # Hoisted acoustic-input projection: [T_a, B, 4H] in one matmul.
+    xw = jnp.einsum(
+        "tbd,dg->tbg",
+        audio_tbd.astype(compute_dtype),
+        params["cell"]["wx"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    mask = (jnp.arange(T_a)[:, None] < audio_lengths[None, :]).astype(jnp.float32)
+
+    ctx_proj = params.get("ctx_proj")
+
+    def body(carry, inp):
+        h, c, ctx = carry
+        xw_t, m_t = inp
+        gate_in = xw_t
+        if ctx_proj is not None:
+            gate_in = gate_in + jnp.dot(
+                ctx.astype(compute_dtype),
+                ctx_proj.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+        (h_new, c_new), _ = rnn.lstm_step(
+            params["cell"], gate_in, (h, c), preprojected=True,
+            compute_dtype=compute_dtype,
+        )
+        ctx_new, align = attn.attend(
+            cfg.attention_type, params["att"], h_new, mem,
+            compute_dtype=compute_dtype,
+        )
+        m = m_t[:, None]
+        h_out = m * h_new + (1.0 - m) * h
+        c_out = m * c_new + (1.0 - m) * c
+        ctx_out = m * ctx_new + (1.0 - m) * ctx
+        return (h_out, c_out, ctx_out), (h_new * m, ctx_new * m, align * m)
+
+    h0 = jnp.zeros((B, H), jnp.float32)
+    c0 = jnp.zeros((B, H), jnp.float32)
+    ctx0 = jnp.zeros((B, Hv), jnp.float32)
+    _, (hs, ctxs, aligns) = jax.lax.scan(body, (h0, c0, ctx0), (xw, mask))
+
+    fused = jnp.concatenate([hs, ctxs], axis=-1)  # [T_a, B, H + Hv]
+
+    au_pred = None
+    if "au_w" in params:
+        au_pred = (
+            jnp.einsum(
+                "tbh,hd->tbd", ctxs.astype(compute_dtype),
+                params["au_w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + params["au_b"]
+        ) * mask[:, :, None]
+
+    return AVAlignOutput(fused=fused, alignments=aligns, au_predictions=au_pred)
+
+
+def au_regression_loss(
+    au_pred: jnp.ndarray,
+    au_target: jnp.ndarray,
+    audio_lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked MSE between predicted and target action units.
+
+    au_pred/au_target: [T_a, B, au_dim]; targets are video AU values mapped
+    to the audio frame rate by the data pipeline (nearest-frame mapping).
+    """
+    T_a = au_pred.shape[0]
+    mask = (jnp.arange(T_a)[:, None] < audio_lengths[None, :]).astype(jnp.float32)
+    sq = jnp.sum(jnp.square(au_pred - au_target), axis=-1)  # [T_a, B]
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(sq * mask) / denom

@@ -1,0 +1,271 @@
+"""Model assembly: wire frontends + encoders + fusion + decoder per regime.
+
+Rebuild of the reference's ``Seq2SeqModel`` (upstream:avsr/seq2seq.py,
+SURVEY.md §2.2 row 2): a single forward/loss entry point switched on the
+architecture — ``audio`` | ``video`` | ``av_align`` | ``bimodal`` —
+[BASELINE.json:configs].  All four regimes share one Batch schema and one
+decoder; the whole forward + loss compiles into a single XLA program.
+
+Layout conventions: frontends produce batch-major [B, T, D]; the recurrent
+core runs time-major [T, B, D]; decoder memories are batch-major [B, S, H].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.configs import ExperimentConfig
+from avsr_tpu.models import decoder as dec
+from avsr_tpu.models import encoder as enc
+from avsr_tpu.models import fusion as fus
+from avsr_tpu.models import video_cnn
+from avsr_tpu.ops import attention as attn
+from avsr_tpu.ops import noise as noise_ops
+from avsr_tpu.ops.audio_features import logmel_frontend
+from avsr_tpu.utils.params import Params
+
+
+class Batch(NamedTuple):
+    """One padded, static-shape training/eval batch.
+
+    Unused modalities are None (e.g. video* for audio-only runs).
+    """
+
+    audio: Optional[jnp.ndarray] = None          # [B, S] waveform
+    audio_lengths: Optional[jnp.ndarray] = None  # [B] samples
+    video: Optional[jnp.ndarray] = None          # [B, T_v, H, W, C] or [B, T_v, au_dim]
+    video_lengths: Optional[jnp.ndarray] = None  # [B] frames
+    targets: Optional[jnp.ndarray] = None        # [B, K] unit ids incl. EOS
+    target_lengths: Optional[jnp.ndarray] = None # [B] incl. EOS
+    au_targets: Optional[jnp.ndarray] = None     # [B, T_a, au_dim] (TASLP AU loss)
+
+
+def compute_dtype_of(cfg: ExperimentConfig):
+    return jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def model_init(key, cfg: ExperimentConfig, vocab_size: int) -> Params:
+    arch = cfg.architecture
+    keys = jax.random.split(key, 6)
+    params: Params = {}
+    memory_dims: List[int] = []
+
+    if arch in ("audio", "av_align", "bimodal"):
+        params["audio_encoder"] = enc.encoder_init(
+            keys[0], cfg.audio_encoder, cfg.audio.output_dim
+        )
+        audio_out = enc.encoder_output_dim(cfg.audio_encoder)
+
+    if arch in ("video", "av_align", "bimodal"):
+        params["video_frontend"] = video_cnn_init_dispatch(keys[1], cfg)
+        params["video_encoder"] = enc.encoder_init(
+            keys[2], cfg.video_encoder, cfg.video.embedding_dim
+        )
+        video_out = enc.encoder_output_dim(cfg.video_encoder)
+
+    if arch == "audio":
+        memory_dims = [audio_out]
+    elif arch == "video":
+        memory_dims = [video_out]
+    elif arch == "av_align":
+        fusion_hidden = cfg.audio_encoder.hidden_units[-1]
+        params["fusion"] = fus.av_align_init(
+            keys[3], cfg.fusion, audio_out, fusion_hidden, video_out
+        )
+        memory_dims = [fusion_hidden + video_out]
+    elif arch == "bimodal":
+        memory_dims = [audio_out, video_out]
+    else:
+        raise ValueError(f"unknown architecture {arch}")
+
+    dec_cfg = cfg.decoder
+    if arch == "bimodal" and not dec_cfg.bimodal:
+        dec_cfg = dec_cfg  # bimodality is implied by two memories
+    params["decoder"] = dec.decoder_init(keys[4], cfg.decoder, memory_dims, vocab_size)
+    return params
+
+
+def video_cnn_init_dispatch(key, cfg: ExperimentConfig) -> Params:
+    return video_cnn.video_cnn_init(key, cfg.video)
+
+
+def memory_dims_of(cfg: ExperimentConfig) -> List[int]:
+    arch = cfg.architecture
+    audio_out = enc.encoder_output_dim(cfg.audio_encoder)
+    video_out = enc.encoder_output_dim(cfg.video_encoder)
+    if arch == "audio":
+        return [audio_out]
+    if arch == "video":
+        return [video_out]
+    if arch == "av_align":
+        return [cfg.audio_encoder.hidden_units[-1] + video_out]
+    if arch == "bimodal":
+        return [audio_out, video_out]
+    raise ValueError(arch)
+
+
+# ---------------------------------------------------------------------------
+# Encode: batch -> decoder attention memories
+# ---------------------------------------------------------------------------
+
+
+class EncodeOutput(NamedTuple):
+    memories: Tuple[attn.AttentionMemory, ...]
+    aux: Dict[str, Any]  # alignments, au_predictions, feature lengths...
+
+
+def encode(
+    params: Params,
+    cfg: ExperimentConfig,
+    batch: Batch,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    noise_bank: Optional[jnp.ndarray] = None,
+) -> EncodeOutput:
+    arch = cfg.architecture
+    cdt = compute_dtype_of(cfg)
+    aux: Dict[str, Any] = {}
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    k_noise, k_enc_a, k_enc_v = jax.random.split(rng, 3)
+
+    audio_mem = video_mem = None
+    audio_mem_len = video_mem_len = None
+    audio_out_tb = None  # time-major audio encoder output (for av_align)
+
+    if arch in ("audio", "av_align", "bimodal"):
+        wav, wav_len = batch.audio, batch.audio_lengths
+        if noise_bank is not None and cfg.noise.enabled:
+            if train:
+                wav = noise_ops.sample_and_mix(
+                    k_noise, wav, wav_len, noise_bank,
+                    cfg.noise.snr_db, cfg.noise.clean_probability,
+                )
+            elif cfg.noise.eval_snr_db is not None:
+                wav = noise_ops.mix_fixed_snr(
+                    wav, wav_len, noise_bank, cfg.noise.eval_snr_db
+                )
+        feats, feat_len = logmel_frontend(wav, wav_len, cfg.audio)
+        feats_tb = jnp.transpose(feats, (1, 0, 2))  # time-major
+        audio_out_tb, _ = enc.encoder_apply(
+            params["audio_encoder"], cfg.audio_encoder, feats_tb, feat_len,
+            train=train, dropout_rng=k_enc_a, compute_dtype=cdt,
+        )
+        audio_mem = jnp.transpose(audio_out_tb, (1, 0, 2))
+        audio_mem_len = feat_len
+        aux["audio_feature_lengths"] = feat_len
+
+    if arch in ("video", "av_align", "bimodal"):
+        v_emb, v_len = video_cnn.video_cnn_apply(
+            params["video_frontend"], cfg.video, batch.video,
+            batch.video_lengths, compute_dtype=cdt,
+        )
+        v_tb = jnp.transpose(v_emb, (1, 0, 2))
+        v_out_tb, _ = enc.encoder_apply(
+            params["video_encoder"], cfg.video_encoder, v_tb, v_len,
+            train=train, dropout_rng=k_enc_v, compute_dtype=cdt,
+        )
+        video_mem = jnp.transpose(v_out_tb, (1, 0, 2))
+        video_mem_len = v_len
+
+    dec_cfg = cfg.decoder
+    if arch == "audio":
+        mems = (prep(dec_cfg, params, 0, audio_mem, audio_mem_len, cdt),)
+    elif arch == "video":
+        mems = (prep(dec_cfg, params, 0, video_mem, video_mem_len, cdt),)
+    elif arch == "av_align":
+        out = fus.av_align_apply(
+            params["fusion"], cfg.fusion, audio_out_tb, audio_mem_len,
+            video_mem, video_mem_len, compute_dtype=cdt,
+        )
+        fused_bm = jnp.transpose(out.fused, (1, 0, 2))
+        aux["av_alignments"] = out.alignments
+        aux["au_predictions"] = out.au_predictions
+        mems = (prep(dec_cfg, params, 0, fused_bm, audio_mem_len, cdt),)
+    elif arch == "bimodal":
+        mems = (
+            prep(dec_cfg, params, 0, audio_mem, audio_mem_len, cdt),
+            prep(dec_cfg, params, 1, video_mem, video_mem_len, cdt),
+        )
+    else:
+        raise ValueError(arch)
+    return EncodeOutput(memories=mems, aux=aux)
+
+
+def prep(dec_cfg, params, idx, memory, lengths, cdt) -> attn.AttentionMemory:
+    return attn.prepare_memory(
+        dec_cfg.attention_type, params["decoder"]["atts"][idx],
+        memory, lengths, compute_dtype=cdt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward + loss
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    cfg: ExperimentConfig,
+    batch: Batch,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    noise_bank: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Teacher-forced logits for the batch: [B, K, V]."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    k_enc, k_dec = jax.random.split(rng)
+    out = encode(
+        params, cfg, batch, train=train, rng=k_enc, noise_bank=noise_bank
+    )
+    logits = dec.teacher_forced_logits(
+        params["decoder"], cfg.decoder, batch.targets, batch.target_lengths,
+        out.memories,
+        sampling_probability=cfg.decoder.sampling_probability if train else 0.0,
+        rng=k_dec,
+        compute_dtype=compute_dtype_of(cfg),
+    )
+    return logits, out.aux
+
+
+def loss_fn(
+    params: Params,
+    cfg: ExperimentConfig,
+    batch: Batch,
+    *,
+    train: bool = True,
+    rng: Optional[jax.Array] = None,
+    noise_bank: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    logits, aux = forward(
+        params, cfg, batch, train=train, rng=rng, noise_bank=noise_bank
+    )
+    ce = dec.sequence_loss(
+        logits, batch.targets, batch.target_lengths,
+        label_smoothing=cfg.train.label_smoothing if train else 0.0,
+    )
+    metrics: Dict[str, Any] = {"ce_loss": ce}
+    total = ce
+    if (
+        cfg.architecture == "av_align"
+        and cfg.fusion.au_loss_weight > 0.0
+        and aux.get("au_predictions") is not None
+        and batch.au_targets is not None
+    ):
+        au_t = jnp.transpose(batch.au_targets, (1, 0, 2))  # time-major
+        au_loss = fus.au_regression_loss(
+            aux["au_predictions"], au_t, aux["audio_feature_lengths"]
+        )
+        metrics["au_loss"] = au_loss
+        total = total + cfg.fusion.au_loss_weight * au_loss
+    metrics["loss"] = total
+    return total, metrics

@@ -1,0 +1,185 @@
+"""Masked content-based attention, shared by the decoder and AV-Align fusion.
+
+The reference uses tf.contrib.seq2seq's BahdanauAttention / LuongAttention
+inside ``AttentionWrapper`` for both the character decoder and the AV-Align
+cross-modal encoder (upstream:avsr/decoder_unimodal.py, avsr/encoder.py;
+SURVEY.md §2.2 rows 4-6).  One implementation lives here so masking is done
+correctly exactly once (SURVEY §7.3 hard-part 3).
+
+Design: a memory is preprocessed ONCE (key projection = one MXU matmul over
+the whole [B, S, H] memory); each query step is then a cheap [B, A] x
+[B, S, A] score.  Padded memory positions receive -inf scores and exactly
+zero attention weight.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.utils.params import Params, glorot_uniform
+
+NEG_INF = -1e30
+
+
+class AttentionMemory(NamedTuple):
+    """Preprocessed attention memory (compute keys once, query many times)."""
+
+    values: jnp.ndarray  # [B, S, H]  memory vectors (decoder reads these)
+    keys: jnp.ndarray    # [B, S, A]  projected keys (Bahdanau) or [B, S, H] (Luong)
+    mask: jnp.ndarray    # [B, S]     1.0 = valid position
+    bias: jnp.ndarray    # [B, S]     0 where valid, NEG_INF where padded
+
+
+def bahdanau_init(key, query_dim: int, memory_dim: int, attention_units: int,
+                  dtype=jnp.float32) -> Params:
+    kq, km, kv = jax.random.split(key, 3)
+    return {
+        "wq": glorot_uniform(kq, (query_dim, attention_units), dtype),
+        "wm": glorot_uniform(km, (memory_dim, attention_units), dtype),
+        "v": glorot_uniform(kv, (attention_units, 1), dtype).squeeze(-1),
+    }
+
+
+def luong_init(key, query_dim: int, memory_dim: int, attention_units: int = 0,
+               dtype=jnp.float32) -> Params:
+    # Luong "general": score = q W m ; W maps query_dim -> memory_dim.
+    return {"wq": glorot_uniform(key, (query_dim, memory_dim), dtype)}
+
+
+def attention_init(attention_type: str, key, query_dim: int, memory_dim: int,
+                   attention_units: int, dtype=jnp.float32) -> Params:
+    if attention_type == "bahdanau":
+        return bahdanau_init(key, query_dim, memory_dim, attention_units, dtype)
+    if attention_type == "luong":
+        return luong_init(key, query_dim, memory_dim, attention_units, dtype)
+    raise ValueError(f"unknown attention type {attention_type}")
+
+
+def prepare_memory(
+    attention_type: str,
+    params: Params,
+    memory: jnp.ndarray,
+    memory_lengths: jnp.ndarray,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> AttentionMemory:
+    """Project memory to keys once; build the additive mask bias."""
+    B, S, _ = memory.shape
+    mask = (jnp.arange(S)[None, :] < memory_lengths[:, None]).astype(jnp.float32)
+    bias = (1.0 - mask) * NEG_INF
+    if attention_type == "bahdanau":
+        keys = jnp.einsum(
+            "bsh,ha->bsa",
+            memory.astype(compute_dtype),
+            params["wm"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:  # luong: keys are the raw memory
+        keys = memory
+    return AttentionMemory(values=memory, keys=keys, mask=mask, bias=bias)
+
+
+def attend(
+    attention_type: str,
+    params: Params,
+    query: jnp.ndarray,
+    mem: AttentionMemory,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One attention read.
+
+    Args:
+      query: [B, Q] decoder/audio state.
+    Returns:
+      (context [B, H] fp32, weights [B, S] fp32; padded positions get 0).
+    """
+    if attention_type == "bahdanau":
+        q = jnp.dot(
+            query.astype(compute_dtype),
+            params["wq"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )  # [B, A]
+        e = jnp.tanh(mem.keys + q[:, None, :])  # [B, S, A]
+        scores = jnp.einsum(
+            "bsa,a->bs", e.astype(compute_dtype),
+            params["v"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    elif attention_type == "luong":
+        q = jnp.dot(
+            query.astype(compute_dtype),
+            params["wq"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )  # [B, H]
+        scores = jnp.einsum(
+            "bsh,bh->bs",
+            mem.keys.astype(compute_dtype),
+            q.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        raise ValueError(f"unknown attention type {attention_type}")
+
+    scores = scores + mem.bias
+    weights = jax.nn.softmax(scores, axis=-1) * mem.mask
+    # Renormalize in case every position was masked (degenerate empty memory).
+    weights = weights / jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-9)
+    weights = weights * jnp.minimum(jnp.sum(mem.mask, axis=-1, keepdims=True), 1.0)
+    context = jnp.einsum(
+        "bs,bsh->bh",
+        weights.astype(compute_dtype),
+        mem.values.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return context, weights
+
+
+def attend_batched_queries(
+    attention_type: str,
+    params: Params,
+    queries: jnp.ndarray,
+    mem: AttentionMemory,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-timesteps attention: queries [B, T, Q] -> contexts [B, T, H].
+
+    Used when the query sequence is known up front (monotonic-free scoring),
+    letting the whole score tensor hit the MXU at once.
+    """
+    if attention_type == "bahdanau":
+        q = jnp.einsum(
+            "btq,qa->bta", queries.astype(compute_dtype),
+            params["wq"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        e = jnp.tanh(mem.keys[:, None, :, :] + q[:, :, None, :])  # [B,T,S,A]
+        scores = jnp.einsum(
+            "btsa,a->bts", e.astype(compute_dtype),
+            params["v"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        q = jnp.einsum(
+            "btq,qh->bth", queries.astype(compute_dtype),
+            params["wq"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.einsum(
+            "bth,bsh->bts", q.astype(compute_dtype),
+            mem.keys.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    scores = scores + mem.bias[:, None, :]
+    weights = jax.nn.softmax(scores, axis=-1) * mem.mask[:, None, :]
+    weights = weights / jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-9)
+    contexts = jnp.einsum(
+        "bts,bsh->bth", weights.astype(compute_dtype),
+        mem.values.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return contexts, weights

@@ -1,0 +1,271 @@
+"""Fused-gate recurrent cells and time scans, TPU-first.
+
+Replaces the reference's ``dynamic_rnn`` / ``bidirectional_dynamic_rnn`` +
+per-step kernel dispatch (upstream:avsr/encoder.py + avsr/cells.py,
+SURVEY.md §2.2 rows 3/7 and §2.3 row 1) with:
+
+  * one fused gate matmul per step — the 4 LSTM gates (3 GRU gates) are a
+    single ``h @ W_h`` MXU matmul inside the scan;
+  * the input projection ``x @ W_x`` for ALL timesteps hoisted OUT of the
+    scan as one large batched matmul (the classic TPU RNN trick: the scan
+    body touches only the [H, 4H] recurrent weights);
+  * time-major [T, B, ...] layout so the scan carry is contiguous;
+  * bf16 matmuls with fp32 cell state (``preferred_element_type=float32``);
+  * masking by carry-through: padded steps keep the previous (h, c), so a
+    reversed scan over a right-padded sequence starts from the true end.
+
+The whole scanned network compiles into a single XLA program per train/eval
+step [BASELINE.json:north_star].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avsr_tpu.utils.params import Params, glorot_uniform, orthogonal
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def lstm_init(key, input_dim: int, hidden: int, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    bias = jnp.zeros((4 * hidden,), dtype)
+    # Forget-gate bias = 1 (gate order: i, f, g, o).
+    bias = bias.at[hidden : 2 * hidden].set(1.0)
+    return {
+        "wx": glorot_uniform(k1, (input_dim, 4 * hidden), dtype),
+        "wh": orthogonal(k2, (hidden, 4 * hidden), dtype),
+        "b": bias,
+    }
+
+
+def gru_init(key, input_dim: int, hidden: int, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "wx": glorot_uniform(k1, (input_dim, 3 * hidden), dtype),
+        "wh": orthogonal(k2, (hidden, 3 * hidden), dtype),
+        "b": jnp.zeros((3 * hidden,), dtype),
+    }
+
+
+def cell_init(cell_type: str, key, input_dim: int, hidden: int, dtype=jnp.float32):
+    if cell_type == "lstm":
+        return lstm_init(key, input_dim, hidden, dtype)
+    if cell_type == "gru":
+        return gru_init(key, input_dim, hidden, dtype)
+    raise ValueError(f"unknown cell type {cell_type}")
+
+
+# ---------------------------------------------------------------------------
+# Single-step cells (used by scans AND by the step-wise decoders)
+# ---------------------------------------------------------------------------
+
+
+def lstm_step(
+    params: Params,
+    x_or_xw: jnp.ndarray,
+    state: Tuple[jnp.ndarray, jnp.ndarray],
+    *,
+    preprojected: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """One fused LSTM step.
+
+    Args:
+      x_or_xw: [B, D_in] input, or [B, 4H] pre-projected x@Wx if
+        ``preprojected``.
+      state: (h [B, H] fp32, c [B, H] fp32).
+
+    Returns ((h', c'), h').
+    """
+    h, c = state
+    H = h.shape[-1]
+    wh = params["wh"].astype(compute_dtype)
+    if preprojected:
+        xw = x_or_xw
+    else:
+        xw = jnp.dot(
+            x_or_xw.astype(compute_dtype),
+            params["wx"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    gates = (
+        xw
+        + jnp.dot(h.astype(compute_dtype), wh, preferred_element_type=jnp.float32)
+        + params["b"]
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return (h_new, c_new), h_new
+
+
+def gru_step(
+    params: Params,
+    x_or_xw: jnp.ndarray,
+    state: jnp.ndarray,
+    *,
+    preprojected: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused GRU step (gate order: r, z, n). state = h [B, H] fp32."""
+    h = state
+    H = h.shape[-1]
+    wh = params["wh"].astype(compute_dtype)
+    if preprojected:
+        xw = x_or_xw
+    else:
+        xw = jnp.dot(
+            x_or_xw.astype(compute_dtype),
+            params["wx"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    hw = jnp.dot(h.astype(compute_dtype), wh, preferred_element_type=jnp.float32)
+    xr, xz, xn = jnp.split(xw + params["b"], 3, axis=-1)
+    hr, hz, hn = jnp.split(hw, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = (1.0 - z) * n + z * h
+    return h_new, h_new
+
+
+# ---------------------------------------------------------------------------
+# Scans
+# ---------------------------------------------------------------------------
+
+
+def _project_inputs(params: Params, x_tbd: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """Hoisted input projection: [T, B, D] @ [D, G*H] as one matmul."""
+    return jnp.einsum(
+        "tbd,dg->tbg",
+        x_tbd.astype(compute_dtype),
+        params["wx"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def lstm_scan(
+    params: Params,
+    x_tbd: jnp.ndarray,
+    mask_tb: Optional[jnp.ndarray] = None,
+    initial_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    *,
+    reverse: bool = False,
+    compute_dtype=jnp.bfloat16,
+    unroll: int = 1,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Scan an LSTM over time.
+
+    Args:
+      x_tbd: [T, B, D] time-major inputs.
+      mask_tb: [T, B] float/bool validity mask (1 = valid).  Padded steps
+        carry the previous state through unchanged and emit zeros.
+      reverse: scan from t=T-1 down to 0 (for the backward direction of a
+        BiLSTM). Outputs remain in forward time order.
+
+    Returns:
+      outputs [T, B, H] fp32 (zeros at padded steps), final (h, c).
+    """
+    T, B, _ = x_tbd.shape
+    H = params["wh"].shape[0]
+    xw = _project_inputs(params, x_tbd, compute_dtype)
+    if initial_state is None:
+        h0 = jnp.zeros((B, H), jnp.float32)
+        c0 = jnp.zeros((B, H), jnp.float32)
+    else:
+        h0, c0 = initial_state
+    if mask_tb is None:
+        mask_tb = jnp.ones((T, B), jnp.float32)
+    mask_tb = mask_tb.astype(jnp.float32)
+
+    def body(carry, inp):
+        h, c = carry
+        xw_t, m_t = inp
+        (h_new, c_new), _ = lstm_step(
+            params, xw_t, (h, c), preprojected=True, compute_dtype=compute_dtype
+        )
+        m = m_t[:, None]
+        h_out = m * h_new + (1.0 - m) * h
+        c_out = m * c_new + (1.0 - m) * c
+        return (h_out, c_out), h_new * m
+
+    (hT, cT), ys = jax.lax.scan(
+        body, (h0, c0), (xw, mask_tb), reverse=reverse, unroll=unroll
+    )
+    return ys, (hT, cT)
+
+
+def gru_scan(
+    params: Params,
+    x_tbd: jnp.ndarray,
+    mask_tb: Optional[jnp.ndarray] = None,
+    initial_state: Optional[jnp.ndarray] = None,
+    *,
+    reverse: bool = False,
+    compute_dtype=jnp.bfloat16,
+    unroll: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GRU counterpart of :func:`lstm_scan`. Final state is h only."""
+    T, B, _ = x_tbd.shape
+    H = params["wh"].shape[0]
+    xw = _project_inputs(params, x_tbd, compute_dtype)
+    h0 = (
+        jnp.zeros((B, H), jnp.float32) if initial_state is None else initial_state
+    )
+    if mask_tb is None:
+        mask_tb = jnp.ones((T, B), jnp.float32)
+    mask_tb = mask_tb.astype(jnp.float32)
+
+    def body(h, inp):
+        xw_t, m_t = inp
+        h_new, _ = gru_step(
+            params, xw_t, h, preprojected=True, compute_dtype=compute_dtype
+        )
+        m = m_t[:, None]
+        h_out = m * h_new + (1.0 - m) * h
+        return h_out, h_new * m
+
+    hT, ys = jax.lax.scan(body, h0, (xw, mask_tb), reverse=reverse, unroll=unroll)
+    return ys, hT
+
+
+def rnn_scan(cell_type: str, params: Params, *args, **kwargs):
+    if cell_type == "lstm":
+        return lstm_scan(params, *args, **kwargs)
+    if cell_type == "gru":
+        return gru_scan(params, *args, **kwargs)
+    raise ValueError(f"unknown cell type {cell_type}")
+
+
+def bidirectional_scan(
+    cell_type: str,
+    params_fwd: Params,
+    params_bwd: Params,
+    x_tbd: jnp.ndarray,
+    mask_tb: Optional[jnp.ndarray],
+    *,
+    compute_dtype=jnp.bfloat16,
+    unroll: int = 1,
+) -> Tuple[jnp.ndarray, Tuple]:
+    """Bidirectional RNN: concat(fwd, bwd) along features.
+
+    The backward scan uses ``reverse=True`` with the same mask; because
+    padding is on the right and padded steps carry state through, the
+    backward pass correctly starts at each utterance's true last frame.
+    """
+    ys_f, state_f = rnn_scan(
+        cell_type, params_fwd, x_tbd, mask_tb,
+        compute_dtype=compute_dtype, unroll=unroll,
+    )
+    ys_b, state_b = rnn_scan(
+        cell_type, params_bwd, x_tbd, mask_tb,
+        reverse=True, compute_dtype=compute_dtype, unroll=unroll,
+    )
+    return jnp.concatenate([ys_f, ys_b], axis=-1), (state_f, state_b)

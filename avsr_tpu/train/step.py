@@ -1,0 +1,114 @@
+"""Jitted train / eval steps with data-parallel sharding.
+
+The whole train step — on-device noise mixing, audio/video frontends,
+scanned encoders, AV-Align fusion, teacher-forced decoder, loss, backward,
+optimizer update — compiles into ONE XLA program per bucket shape
+[BASELINE.json:north_star].  Data parallelism is expressed with sharding
+annotations: the batch axis lives on the mesh's ``data`` axis, parameters
+and optimizer state are replicated, and XLA inserts the gradient all-reduce
+over ICI (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from avsr_tpu.configs import ExperimentConfig
+from avsr_tpu.models import seq2seq
+from avsr_tpu.models.seq2seq import Batch
+from avsr_tpu.train.optim import build_optimizer
+from avsr_tpu.utils.params import Params
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+def create_train_state(
+    rng, cfg: ExperimentConfig, vocab_size: int, steps_per_epoch: int = 1000
+) -> Tuple[TrainState, Any]:
+    params = seq2seq.model_init(rng, cfg, vocab_size)
+    tx, _ = build_optimizer(cfg.train, steps_per_epoch)
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
+
+
+def train_step(
+    state: TrainState,
+    batch: Batch,
+    rng: jax.Array,
+    *,
+    cfg: ExperimentConfig,
+    tx: optax.GradientTransformation,
+    noise_bank: Optional[jnp.ndarray] = None,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step.  Pure; jit/shard outside."""
+    step_rng = jax.random.fold_in(rng, state.step)
+
+    def lf(params):
+        return seq2seq.loss_fn(
+            params, cfg, batch, train=True, rng=step_rng, noise_bank=noise_bank
+        )
+
+    (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    metrics = dict(metrics)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    new_state = TrainState(new_params, new_opt_state, state.step + 1)
+    return new_state, metrics
+
+
+def eval_step(
+    params: Params,
+    batch: Batch,
+    *,
+    cfg: ExperimentConfig,
+    noise_bank: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    loss, metrics = seq2seq.loss_fn(
+        params, cfg, batch, train=False, rng=jax.random.PRNGKey(0),
+        noise_bank=noise_bank,
+    )
+    return dict(metrics)
+
+
+def make_jitted_train_step(
+    cfg: ExperimentConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    noise_bank: Optional[jnp.ndarray] = None,
+):
+    """Build the jitted train step.
+
+    Sharding is computation-follows-data under GSPMD: the loop places the
+    batch with batch-axis sharding and the state replicated
+    (parallel/mesh.py); with a mesh we additionally pin the output state to
+    replicated so the updated params never pick up batch shardings.
+    """
+    fn = functools.partial(train_step, cfg=cfg, tx=tx, noise_bank=noise_bank)
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(fn, donate_argnums=(0,), out_shardings=(repl, repl))
+
+
+def make_jitted_eval_step(
+    cfg: ExperimentConfig, mesh=None, noise_bank: Optional[jnp.ndarray] = None
+):
+    fn = functools.partial(eval_step, cfg=cfg, noise_bank=noise_bank)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(fn, out_shardings=repl)

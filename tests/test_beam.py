@@ -1,0 +1,120 @@
+"""Beam search correctness: exhaustive-search equivalence on a toy vocabulary
+(SURVEY.md §4.2, §7.3 hard-part 1)."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsr_tpu.configs import DecoderConfig
+from avsr_tpu.data.units import EOS_ID, GO_ID, PAD_ID
+from avsr_tpu.decode.beam import beam_search
+from avsr_tpu.decode.greedy import greedy_decode
+from avsr_tpu.models import decoder as dec
+from avsr_tpu.ops import attention as attn
+
+V = 5  # pad, go, eos, a(3), b(4)
+MAXLEN = 3
+CFG = DecoderConfig(embedding_dim=4, hidden_units=(6,), attention_units=4,
+                    max_label_length=MAXLEN)
+
+
+def build(rng_seed=0, B=2, S=3, H=5):
+    rng = np.random.default_rng(rng_seed)
+    params = dec.decoder_init(jax.random.PRNGKey(rng_seed), CFG, [H], V)
+    memory = jnp.asarray(rng.standard_normal((B, S, H)).astype(np.float32))
+    lengths = jnp.asarray([S] * B, jnp.int32)
+    mem = attn.prepare_memory(
+        CFG.attention_type, params["atts"][0], memory, lengths,
+        compute_dtype=jnp.float32,
+    )
+    return params, mem, B
+
+
+def score_sequence(params, mem, b, seq):
+    """Teacher-forced log prob of `seq` (which may end with EOS) for batch
+    row b, using the same decoder_step as beam search."""
+    state = dec.initial_state(CFG, mem.values.shape[0], [mem.values.shape[-1]])
+    tok = jnp.full((mem.values.shape[0],), GO_ID, jnp.int32)
+    total = 0.0
+    for t in seq:
+        state, logits = dec.decoder_step(
+            params, CFG, tok, state, [mem], compute_dtype=jnp.float32
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        total += float(logp[b, t])
+        tok = jnp.full((mem.values.shape[0],), t, jnp.int32)
+    return total
+
+
+def exhaustive_best(params, mem, b):
+    """All sequences of length <= MAXLEN over {3,4} terminated by EOS, plus
+    unterminated length-MAXLEN sequences; finished sequences preferred."""
+    candidates = []
+    for L in range(1, MAXLEN + 1):
+        for body in itertools.product([3, 4], repeat=L - 1):
+            seq = list(body) + [EOS_ID]
+            candidates.append((seq, True))
+    for body in itertools.product([3, 4], repeat=MAXLEN):
+        candidates.append((list(body), False))
+    best_fin, best_fin_score = None, -np.inf
+    for seq, finished in candidates:
+        s = score_sequence(params, mem, b, seq)
+        if finished and s > best_fin_score:
+            best_fin, best_fin_score = seq, s
+    return best_fin, best_fin_score
+
+
+def test_beam_equals_exhaustive():
+    params, mem, B = build()
+    # width 16 >= number of finished candidates (1+2+4=7) plus live paths
+    res = beam_search(
+        params, CFG, [mem], MAXLEN, beam_width=16, length_penalty=0.0,
+        compute_dtype=jnp.float32,
+    )
+    for b in range(B):
+        ref_seq, ref_score = exhaustive_best(params, mem, b)
+        got = [int(x) for x in np.asarray(res.ids[b]) if x != PAD_ID]
+        assert got == ref_seq, f"row {b}: beam {got} != exhaustive {ref_seq}"
+        np.testing.assert_allclose(float(res.scores[b]), ref_score, rtol=1e-4)
+
+
+def test_beam_width_one_equals_greedy():
+    params, mem, B = build(rng_seed=1)
+    res = beam_search(
+        params, CFG, [mem], MAXLEN, beam_width=1, length_penalty=0.0,
+        compute_dtype=jnp.float32,
+    )
+    ids_g, len_g = greedy_decode(params, CFG, [mem], MAXLEN,
+                                 compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(res.ids), np.asarray(ids_g))
+
+
+def test_beam_monotone_in_width():
+    """Wider beams never find a worse best hypothesis."""
+    params, mem, B = build(rng_seed=2)
+    prev = np.full((B,), -np.inf)
+    for w in (1, 2, 4, 8):
+        res = beam_search(
+            params, CFG, [mem], MAXLEN, beam_width=w, length_penalty=0.0,
+            compute_dtype=jnp.float32,
+        )
+        scores = np.asarray(res.scores)
+        assert np.all(scores >= prev - 1e-5), (w, scores, prev)
+        prev = np.maximum(prev, scores)
+
+
+def test_beam_respects_length_penalty():
+    params, mem, B = build(rng_seed=3)
+    res = beam_search(
+        params, CFG, [mem], MAXLEN, beam_width=4, length_penalty=1.0,
+        compute_dtype=jnp.float32,
+    )
+    ids = np.asarray(res.ids)
+    # sanity: output is well-formed (EOS-terminated, PAD after EOS)
+    for b in range(B):
+        row = list(ids[b])
+        if EOS_ID in row:
+            i = row.index(EOS_ID)
+            assert all(x == PAD_ID for x in row[i + 1 :])

@@ -1,0 +1,140 @@
+"""RNN scan numerics vs hand-rolled NumPy LSTM/GRU (SURVEY.md §4.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsr_tpu.ops import rnn
+
+
+def np_lstm(params, x_tbd, mask_tb):
+    wx = np.asarray(params["wx"], np.float64)
+    wh = np.asarray(params["wh"], np.float64)
+    b = np.asarray(params["b"], np.float64)
+    T, B, _ = x_tbd.shape
+    H = wh.shape[0]
+    h = np.zeros((B, H))
+    c = np.zeros((B, H))
+    outs = np.zeros((T, B, H))
+
+    def sig(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    for t in range(T):
+        gates = x_tbd[t] @ wx + h @ wh + b
+        i, f, g, o = np.split(gates, 4, axis=-1)
+        c_new = sig(f) * c + sig(i) * np.tanh(g)
+        h_new = sig(o) * np.tanh(c_new)
+        m = mask_tb[t][:, None]
+        h = m * h_new + (1 - m) * h
+        c = m * c_new + (1 - m) * c
+        outs[t] = h_new * m
+    return outs, (h, c)
+
+
+def test_lstm_scan_matches_numpy(rng):
+    T, B, D, H = 7, 3, 5, 4
+    key = jax.random.PRNGKey(0)
+    params = rnn.lstm_init(key, D, H)
+    x = rng.standard_normal((T, B, D)).astype(np.float32)
+    mask = np.ones((T, B), np.float32)
+    mask[5:, 1] = 0.0  # one short sequence
+    ys, (h, c) = rnn.lstm_scan(
+        params, jnp.asarray(x), jnp.asarray(mask), compute_dtype=jnp.float32
+    )
+    ref_ys, (ref_h, ref_c) = np_lstm(params, x.astype(np.float64), mask)
+    np.testing.assert_allclose(np.asarray(ys), ref_ys, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), ref_h, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), ref_c, rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_masking_carries_state(rng):
+    """Final state of a masked sequence equals that of its unpadded version."""
+    T, B, D, H = 10, 1, 3, 4
+    params = rnn.lstm_init(jax.random.PRNGKey(1), D, H)
+    x = rng.standard_normal((T, B, D)).astype(np.float32)
+    mask = np.zeros((T, B), np.float32)
+    mask[:6] = 1.0
+    _, (h_m, c_m) = rnn.lstm_scan(
+        params, jnp.asarray(x), jnp.asarray(mask), compute_dtype=jnp.float32
+    )
+    _, (h_s, c_s) = rnn.lstm_scan(
+        params, jnp.asarray(x[:6]), jnp.ones((6, B), jnp.float32),
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(h_m), np.asarray(h_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_m), np.asarray(c_s), rtol=1e-5)
+
+
+def test_reverse_scan_starts_at_true_end(rng):
+    """Backward direction over right-padded input == backward over the
+    unpadded sequence (padding must not corrupt the carry)."""
+    T, B, D, H = 8, 1, 3, 4
+    params = rnn.lstm_init(jax.random.PRNGKey(2), D, H)
+    x = rng.standard_normal((T, B, D)).astype(np.float32)
+    valid = 5
+    mask = np.zeros((T, B), np.float32)
+    mask[:valid] = 1.0
+    ys_pad, (h_pad, _) = rnn.lstm_scan(
+        params, jnp.asarray(x), jnp.asarray(mask), reverse=True,
+        compute_dtype=jnp.float32,
+    )
+    ys_ref, (h_ref, _) = rnn.lstm_scan(
+        params, jnp.asarray(x[:valid]), jnp.ones((valid, B), jnp.float32),
+        reverse=True, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(h_pad), np.asarray(h_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ys_pad)[:valid], np.asarray(ys_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(ys_pad)[valid:], 0.0, atol=1e-7)
+
+
+def test_gru_scan_shapes_and_mask(rng):
+    T, B, D, H = 6, 2, 4, 5
+    params = rnn.gru_init(jax.random.PRNGKey(3), D, H)
+    x = rng.standard_normal((T, B, D)).astype(np.float32)
+    mask = np.ones((T, B), np.float32)
+    mask[4:, 0] = 0.0
+    ys, h = rnn.gru_scan(
+        params, jnp.asarray(x), jnp.asarray(mask), compute_dtype=jnp.float32
+    )
+    assert ys.shape == (T, B, H)
+    np.testing.assert_allclose(np.asarray(ys)[4:, 0], 0.0, atol=1e-7)
+    # final state for row 0 equals output at t=3
+    np.testing.assert_allclose(
+        np.asarray(h)[0], np.asarray(ys)[3, 0], rtol=1e-5
+    )
+
+
+def test_bidirectional_concat(rng):
+    T, B, D, H = 5, 2, 3, 4
+    kf, kb = jax.random.split(jax.random.PRNGKey(4))
+    pf = rnn.lstm_init(kf, D, H)
+    pb = rnn.lstm_init(kb, D, H)
+    x = rng.standard_normal((T, B, D)).astype(np.float32)
+    mask = np.ones((T, B), np.float32)
+    ys, _ = rnn.bidirectional_scan(
+        "lstm", pf, pb, jnp.asarray(x), jnp.asarray(mask),
+        compute_dtype=jnp.float32,
+    )
+    assert ys.shape == (T, B, 2 * H)
+    ys_f, _ = rnn.lstm_scan(pf, jnp.asarray(x), jnp.asarray(mask), compute_dtype=jnp.float32)
+    ys_b, _ = rnn.lstm_scan(
+        pb, jnp.asarray(x), jnp.asarray(mask), reverse=True, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(ys)[:, :, :H], np.asarray(ys_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys)[:, :, H:], np.asarray(ys_b), rtol=1e-6)
+
+
+def test_jit_vs_nojit(rng):
+    T, B, D, H = 6, 2, 4, 4
+    params = rnn.lstm_init(jax.random.PRNGKey(5), D, H)
+    x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+    mask = jnp.ones((T, B), jnp.float32)
+    f = lambda p, x, m: rnn.lstm_scan(p, x, m, compute_dtype=jnp.float32)[0]
+    np.testing.assert_allclose(
+        np.asarray(f(params, x, mask)),
+        np.asarray(jax.jit(f)(params, x, mask)),
+        rtol=1e-5, atol=1e-6,
+    )
