@@ -1,0 +1,249 @@
+"""Public experiment API: the ``AVSR`` class.
+
+Surface parity with the reference's public train/eval/decode API
+(upstream:avsr/avsr.py, SURVEY.md §2.2 row 1, §3.5): the constructor takes
+the full knob set (unit type + unit file, record paths per modality,
+architecture switch, encoder/decoder sizes, attention type, batch size, LR,
+dropout, scheduled-sampling probability, beam width, max label length,
+SNR/noise selection) and exposes ``train(num_epochs, logfile,
+try_restore_latest_checkpoint)`` and ``evaluate(checkpoint, epoch)``
+[BASELINE.json:north_star: "Match the reference's public train/eval/decode
+API"].
+
+Underneath it is pure TPU-native machinery: jitted XLA train/eval programs,
+bucketing loader, orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from avsr_tpu.configs import (
+    AudioFrontendConfig,
+    DataConfig,
+    DecodeConfig,
+    DecoderConfig,
+    EncoderConfig,
+    ExperimentConfig,
+    FusionConfig,
+    NoiseConfig,
+    TrainConfig,
+    VideoFrontendConfig,
+)
+from avsr_tpu.data import tfrecord
+from avsr_tpu.data.loader import BucketingLoader
+from avsr_tpu.data.units import load_or_builtin
+from avsr_tpu.train.loop import Trainer
+
+
+class AVSR:
+    """One experiment: datasets + model + training/eval state.
+
+    Accepts either a ready ``ExperimentConfig`` via ``config=``, or the
+    reference-style flat kwargs listed below.
+    """
+
+    def __init__(
+        self,
+        *,
+        config: Optional[ExperimentConfig] = None,
+        # ---- reference-style knobs (SURVEY §3.5) ----
+        unit: str = "character",
+        unit_file: Optional[str] = None,
+        audio_train_record: Optional[str] = None,
+        audio_test_record: Optional[str] = None,
+        video_train_record: Optional[str] = None,
+        video_test_record: Optional[str] = None,
+        architecture: str = "audio",  # audio | video | av_align | bimodal
+        encoder_units_per_layer: Sequence[int] = (256, 256, 256),
+        video_encoder_units_per_layer: Sequence[int] = (256,),
+        decoder_units_per_layer: Sequence[int] = (256,),
+        cell_type: str = "lstm",
+        bidirectional: bool = True,
+        attention_type: str = "bahdanau",
+        embedding_size: int = 128,
+        batch_size: int = 32,
+        learning_rate: float = 1e-3,
+        lr_decay: float = 0.0,
+        optimizer: str = "adam",
+        max_gradient_norm: float = 1.0,
+        dropout_probability: float = 0.1,
+        sampling_probability: float = 0.0,
+        beam_width: int = 10,
+        max_label_length: int = 150,
+        noise_snr_db: Optional[Sequence[float]] = None,
+        noise_bank_record: Optional[str] = None,
+        au_loss_weight: float = 0.0,
+        compute_dtype: str = "bfloat16",
+        run_dir: Optional[str] = None,
+        num_epochs: int = 100,
+        seed: int = 42,
+        # in-memory data injection (tests / synthetic experiments)
+        train_utterances=None,
+        eval_utterances=None,
+        noise_bank: Optional[np.ndarray] = None,
+        mesh=None,
+    ):
+        if config is None:
+            config = ExperimentConfig(
+                architecture=architecture,
+                audio=AudioFrontendConfig(),
+                video=VideoFrontendConfig(embedding_dim=embedding_size),
+                audio_encoder=EncoderConfig(
+                    cell_type=cell_type,
+                    hidden_units=tuple(encoder_units_per_layer),
+                    bidirectional=bidirectional,
+                    dropout_rate=dropout_probability,
+                ),
+                video_encoder=EncoderConfig(
+                    cell_type=cell_type,
+                    hidden_units=tuple(video_encoder_units_per_layer),
+                    bidirectional=bidirectional,
+                    dropout_rate=dropout_probability,
+                ),
+                fusion=FusionConfig(
+                    attention_type=attention_type, au_loss_weight=au_loss_weight
+                ),
+                decoder=DecoderConfig(
+                    embedding_dim=embedding_size,
+                    hidden_units=tuple(decoder_units_per_layer),
+                    attention_type=attention_type,
+                    dropout_rate=dropout_probability,
+                    sampling_probability=sampling_probability,
+                    max_label_length=max_label_length,
+                ),
+                noise=NoiseConfig(
+                    enabled=noise_snr_db is not None,
+                    snr_db=tuple(noise_snr_db) if noise_snr_db else
+                    NoiseConfig().snr_db,
+                ),
+                data=DataConfig(
+                    unit=unit,
+                    unit_file=unit_file,
+                    audio_train_records=audio_train_record,
+                    audio_eval_records=audio_test_record,
+                    video_train_records=video_train_record,
+                    video_eval_records=video_test_record,
+                    batch_size=batch_size,
+                    max_label_length=max_label_length,
+                ),
+                train=TrainConfig(
+                    learning_rate=learning_rate,
+                    lr_decay=lr_decay,
+                    optimizer=optimizer,
+                    max_gradient_norm=max_gradient_norm,
+                    num_epochs=num_epochs,
+                    compute_dtype=compute_dtype,
+                    seed=seed,
+                ),
+                decode=DecodeConfig(
+                    beam_width=beam_width, max_decode_length=max_label_length
+                ),
+                name=f"{architecture}_{unit}",
+            )
+        self.config = config
+        self.unit_dict = load_or_builtin(config.data.unit_file, config.data.unit)
+
+        train_utts = train_utterances
+        if train_utts is None and config.data.audio_train_records:
+            train_utts = tfrecord.read_dataset(config.data.audio_train_records)
+            train_utts = _maybe_join_video(
+                train_utts, config.data.video_train_records
+            )
+        eval_utts = eval_utterances
+        if eval_utts is None and config.data.audio_eval_records:
+            eval_utts = tfrecord.read_dataset(config.data.audio_eval_records)
+            eval_utts = _maybe_join_video(
+                eval_utts, config.data.video_eval_records
+            )
+        if train_utts is None and config.data.video_train_records:
+            train_utts = tfrecord.read_dataset(config.data.video_train_records)
+        if eval_utts is None and config.data.video_eval_records:
+            eval_utts = tfrecord.read_dataset(config.data.video_eval_records)
+        if train_utts is None:
+            raise ValueError("no training data: pass record paths or utterances")
+
+        need_audio = config.architecture in ("audio", "av_align", "bimodal")
+        need_video = config.architecture in ("video", "av_align", "bimodal")
+        mk = lambda utts: BucketingLoader(
+            utts, self.unit_dict, config.data,
+            require_audio=need_audio, require_video=need_video,
+            frame_step=config.audio.frame_step,
+            frame_length=config.audio.frame_length,
+        )
+        self.train_loader = mk(train_utts)
+        self.eval_loader = mk(eval_utts) if eval_utts is not None else None
+
+        if noise_bank is None and noise_bank_record:
+            bank_utts = tfrecord.read_dataset(noise_bank_record)
+            S = max(len(u.waveform) for u in bank_utts)
+            noise_bank = np.stack(
+                [np.resize(u.waveform, S) for u in bank_utts]
+            )
+
+        self.trainer = Trainer(
+            config, self.unit_dict, self.train_loader, self.eval_loader,
+            run_dir=run_dir, noise_bank=noise_bank, mesh=mesh,
+        )
+
+    # -- reference-parity entry points -----------------------------------
+
+    def train(
+        self,
+        num_epochs: Optional[int] = None,
+        logfile: Optional[str] = None,
+        try_restore_latest_checkpoint: bool = False,
+    ) -> Dict[str, float]:
+        if logfile:
+            from avsr_tpu.utils.logging import MetricsLogger
+
+            self.trainer.logger = MetricsLogger(self.trainer.run_dir, logfile)
+        return self.trainer.train(
+            num_epochs,
+            try_restore_latest_checkpoint=try_restore_latest_checkpoint,
+        )
+
+    def evaluate(
+        self,
+        checkpoint: Optional[str] = None,
+        epoch: Optional[int] = None,
+        use_beam: bool = True,
+    ) -> Dict[str, float]:
+        if checkpoint is not None or self.trainer.ckpt.latest_step() is not None:
+            # restore by explicit step (path tail) or latest
+            step = None
+            if checkpoint is not None:
+                try:
+                    step = int(os.path.basename(str(checkpoint)))
+                except ValueError:
+                    step = None
+            try:
+                self.trainer.state, _, _ = self.trainer.ckpt.restore(
+                    self.trainer.state, step
+                )
+            except FileNotFoundError:
+                pass
+        return self.trainer.evaluate(epoch=epoch, use_beam=use_beam)
+
+    def decode(self, use_beam: bool = True):
+        """Decode the eval set; returns the ErrorRateAccumulator-style summary."""
+        return self.trainer.evaluate(use_beam=use_beam)
+
+
+def _maybe_join_video(audio_utts, video_records: Optional[str]):
+    """Join audio and video record streams by uid (reference:
+    make_iterator_from_two_records, SURVEY §2.2 row 10)."""
+    if not video_records:
+        return audio_utts
+    video_utts = {u.uid: u for u in tfrecord.read_dataset(video_records)}
+    joined = []
+    for u in audio_utts:
+        v = video_utts.get(u.uid)
+        if v is not None:
+            u.video = v.video
+            u.au = v.au
+        joined.append(u)
+    return joined

@@ -1,0 +1,171 @@
+"""Command-line interface: train / evaluate / decode / write-records.
+
+The reference's "CLI" is one run_*.py script per experiment with literal
+hyperparameters (upstream repo root, SURVEY.md §2.2 row 14).  This CLI keeps
+that workflow — a preset name or a JSON config file selects the experiment —
+and adds dotted-path overrides so every reference knob (SURVEY §3.5) is
+reachable from the command line.
+
+Examples:
+  python -m avsr_tpu.cli train --preset audio_tcdtimit \
+      --set data.audio_train_records=train.tfrecord \
+      --set train.learning_rate=3e-4
+  python -m avsr_tpu.cli evaluate --preset av_align_tcdtimit --run-dir runs/x
+  python -m avsr_tpu.cli write-records --synthetic 64 --out data/train.tfrecord
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, List
+
+
+def _parse_overrides(pairs: List[str]) -> Dict[str, object]:
+    out: Dict[str, object] = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"--set expects key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass  # keep string
+        out[k] = v
+    return out
+
+
+def _load_config(args) -> "ExperimentConfig":
+    from avsr_tpu.configs import PRESETS, ExperimentConfig
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+    elif args.preset:
+        if args.preset not in PRESETS:
+            raise SystemExit(
+                f"unknown preset {args.preset!r}; available: {sorted(PRESETS)}"
+            )
+        cfg = PRESETS[args.preset]()
+    else:
+        cfg = ExperimentConfig()
+    if args.set:
+        cfg = cfg.override(_parse_overrides(args.set))
+    return cfg
+
+
+def _build_avsr(args):
+    from avsr_tpu.avsr import AVSR
+
+    cfg = _load_config(args)
+    return AVSR(config=cfg, run_dir=args.run_dir)
+
+
+def cmd_train(args) -> int:
+    avsr = _build_avsr(args)
+    metrics = avsr.train(
+        num_epochs=args.epochs,
+        logfile=args.logfile,
+        try_restore_latest_checkpoint=args.resume,
+    )
+    print(json.dumps({"final": metrics}))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    avsr = _build_avsr(args)
+    metrics = avsr.evaluate(checkpoint=args.checkpoint, use_beam=not args.greedy)
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    return cmd_evaluate(args)
+
+
+def cmd_write_records(args) -> int:
+    """Dataset serialization (upstream:avsr/dataset_writer.py equivalent)."""
+    from avsr_tpu.data import tfrecord
+    from avsr_tpu.data.synthetic import SyntheticSpec, generate, make_noise_bank
+    from avsr_tpu.data.synthetic import Utterance
+    import numpy as np
+
+    if args.synthetic:
+        utts = generate(SyntheticSpec(num_utterances=args.synthetic,
+                                      seed=args.seed))
+        tfrecord.write_dataset(utts, args.out)
+        print(f"wrote {len(utts)} synthetic utterances -> {args.out}")
+        if args.noise_out:
+            bank = make_noise_bank(num_rows=4, row_samples=160_000,
+                                   seed=args.seed + 1)
+            bank_utts = [
+                Utterance(uid=f"noise{i}", transcript="", waveform=bank[i])
+                for i in range(bank.shape[0])
+            ]
+            tfrecord.write_dataset(bank_utts, args.noise_out)
+            print(f"wrote noise bank -> {args.noise_out}")
+        return 0
+    raise SystemExit(
+        "only --synthetic generation is wired in this environment "
+        "(no raw TCD-TIMIT/LRS2 media present); real-media ingestion lives in "
+        "avsr_tpu/data/ingest.py"
+    )
+
+
+def cmd_show_config(args) -> int:
+    cfg = _load_config(args)
+    print(cfg.to_json())
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="avsr_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--preset", help="named experiment preset")
+        p.add_argument("--config", help="JSON config file")
+        p.add_argument("--set", action="append", default=[],
+                       metavar="KEY=VAL", help="dotted-path config override")
+        p.add_argument("--run-dir", default=None)
+
+    p = sub.add_parser("train", help="train a model")
+    common(p)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--logfile", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="try_restore_latest_checkpoint")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("evaluate", help="evaluate a checkpoint")
+    common(p)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--greedy", action="store_true", help="greedy instead of beam")
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("decode", help="beam-decode the eval set")
+    common(p)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--greedy", action="store_true")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("write-records", help="serialize a dataset to TFRecords")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic utterances")
+    p.add_argument("--out", required=True)
+    p.add_argument("--noise-out", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_write_records)
+
+    p = sub.add_parser("show-config", help="print the resolved config")
+    common(p)
+    p.set_defaults(fn=cmd_show_config)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

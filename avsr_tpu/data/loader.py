@@ -1,0 +1,261 @@
+"""Input pipeline: bucketing batcher over utterance datasets.
+
+Rebuild of the reference's tf.data pipeline (upstream:avsr/io_utils.py,
+SURVEY.md §2.2 row 10): parse records, join audio+video streams, label->id
+with GO/EOS handling, shuffle, and padded BUCKETED batching.  On TPU the
+length-handling problem is static shapes (SURVEY §5.7): every batch is
+padded to its bucket's (T_audio, T_video, label_len) maxima so XLA compiles
+one program per bucket, not per shape.
+
+The loader is host-side Python/NumPy (the TF1 C++ tf.data equivalent here is
+the native TFRecord framing in avsr_tpu/native plus NumPy assembly); an
+optional grain-backed parallel variant is provided for multi-worker hosts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from avsr_tpu.configs import DataConfig
+from avsr_tpu.data.synthetic import Utterance
+from avsr_tpu.data.units import EOS_ID, UnitDict
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketShape:
+    """Static pad shape for one bucket."""
+
+    audio_samples: int
+    video_frames: int
+    label_len: int
+
+
+class NumpyBatch(dict):
+    """Host-side batch: dict of numpy arrays matching seq2seq.Batch fields."""
+
+
+def _bucket_for(
+    length: int, boundaries: Sequence[int]
+) -> int:
+    for i, b in enumerate(boundaries):
+        if length <= b:
+            return i
+    return len(boundaries) - 1
+
+
+class BucketingLoader:
+    """Epoch iterator producing static-shape padded batches.
+
+    Args:
+      utterances: in-memory dataset (from tfrecord.read_dataset or synthetic).
+      unit_dict: symbol table for transcript -> ids (+EOS).
+      cfg: DataConfig (batch size, bucket boundaries...).
+      audio_rate_per_bucket_frame: samples per audio *feature* bucket unit —
+        bucket boundaries in DataConfig are expressed in pre-stacking audio
+        frames (10 ms); this converts to waveform samples.
+      require_audio / require_video: which modalities the architecture needs.
+      drop_remainder: pad the final short batch by repeating examples
+        (keeps shapes static; repeated rows get zero loss weight via
+        target_lengths=0 when mark_padding=True).
+    """
+
+    def __init__(
+        self,
+        utterances: List[Utterance],
+        unit_dict: UnitDict,
+        cfg: DataConfig,
+        *,
+        require_audio: bool = True,
+        require_video: bool = False,
+        frame_step: int = 160,
+        frame_length: int = 400,
+        au_targets_frames: Optional[int] = None,
+        seed: Optional[int] = None,
+    ):
+        self.utts = utterances
+        self.units = unit_dict
+        self.cfg = cfg
+        self.require_audio = require_audio
+        self.require_video = require_video
+        self.frame_step = frame_step
+        self.frame_length = frame_length
+        self.seed = cfg.seed if seed is None else seed
+        self._epoch = 0
+
+        # Precompute per-utterance lengths and encoded labels.
+        self.labels = [
+            np.asarray(unit_dict.encode(u.transcript), np.int32) for u in utterances
+        ]
+        self.audio_len = np.asarray(
+            [len(u.waveform) if u.waveform is not None else 0 for u in utterances]
+        )
+        self.video_len = np.asarray(
+            [u.video.shape[0] if u.video is not None else
+             (u.au.shape[0] if u.au is not None else 0) for u in utterances]
+        )
+        # audio frames at the 10ms rate, used for bucketing
+        self.audio_frames = np.maximum(
+            (self.audio_len - frame_length) // frame_step + 1, 1
+        )
+        self._bucket_shapes = self._compute_bucket_shapes()
+
+    # -- static shapes ------------------------------------------------------
+
+    def _compute_bucket_shapes(self) -> Dict[int, BucketShape]:
+        bounds = list(self.cfg.audio_bucket_boundaries)
+        shapes = {}
+        max_label = self.cfg.max_label_length
+        for i, b in enumerate(bounds):
+            samples = (b - 1) * self.frame_step + self.frame_length
+            # video runs at cfg.video_fps; audio frames at 100 Hz
+            vframes = int(np.ceil(b * self.cfg.video_fps / 100.0)) + 1
+            shapes[i] = BucketShape(samples, vframes, max_label)
+        return shapes
+
+    def bucket_shapes(self) -> Dict[int, BucketShape]:
+        return dict(self._bucket_shapes)
+
+    # -- iteration ----------------------------------------------------------
+
+    def __len__(self) -> int:
+        return int(np.ceil(len(self.utts) / self.cfg.batch_size))
+
+    def epoch(self, shuffle: bool = True) -> Iterator[Tuple[int, NumpyBatch]]:
+        """Yield (bucket_id, batch) pairs for one epoch."""
+        order = np.arange(len(self.utts))
+        if shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        buckets: Dict[int, List[int]] = {}
+        for idx in order:
+            b = _bucket_for(
+                int(self.audio_frames[idx]) if self.require_audio
+                else int(self.video_len[idx]),
+                self.cfg.audio_bucket_boundaries,
+            )
+            buckets.setdefault(b, []).append(int(idx))
+            if len(buckets[b]) == self.cfg.batch_size:
+                yield b, self._assemble(b, buckets.pop(b))
+        # flush partial batches, repeating rows to keep shapes static
+        for b, idxs in buckets.items():
+            n_real = len(idxs)
+            while len(idxs) < self.cfg.batch_size:
+                idxs.append(idxs[len(idxs) % n_real])
+            yield b, self._assemble(b, idxs, n_real=n_real)
+
+    def _assemble(self, bucket: int, idxs: List[int], n_real: Optional[int] = None) -> NumpyBatch:
+        shape = self._bucket_shapes[bucket]
+        B = len(idxs)
+        out = NumpyBatch()
+        out["uids"] = [self.utts[i].uid for i in idxs]
+        out["num_real"] = n_real if n_real is not None else B
+
+        if self.require_audio:
+            S = shape.audio_samples
+            wav = np.zeros((B, S), np.float32)
+            wlen = np.zeros((B,), np.int32)
+            for j, i in enumerate(idxs):
+                w = self.utts[i].waveform
+                n = min(len(w), S)
+                wav[j, :n] = w[:n]
+                wlen[j] = n
+            out["audio"] = wav
+            out["audio_lengths"] = wlen
+
+        if self.require_video:
+            T = shape.video_frames
+            first = self.utts[idxs[0]]
+            if first.video is not None:
+                fshape = first.video.shape[1:]
+                vid = np.zeros((B, T, *fshape), np.float32)
+                vlen = np.zeros((B,), np.int32)
+                for j, i in enumerate(idxs):
+                    v = self.utts[i].video
+                    n = min(v.shape[0], T)
+                    vid[j, :n] = v[:n]
+                    vlen[j] = n
+            else:  # AU feature path
+                au_dim = first.au.shape[1]
+                vid = np.zeros((B, T, au_dim), np.float32)
+                vlen = np.zeros((B,), np.int32)
+                for j, i in enumerate(idxs):
+                    v = self.utts[i].au
+                    n = min(v.shape[0], T)
+                    vid[j, :n] = v[:n]
+                    vlen[j] = n
+            out["video"] = vid
+            out["video_lengths"] = vlen
+
+        K = shape.label_len
+        tgt = np.zeros((B, K), np.int32)
+        tlen = np.zeros((B,), np.int32)
+        for j, i in enumerate(idxs):
+            ids = self.labels[i][:K]
+            tgt[j, : len(ids)] = ids
+            tlen[j] = len(ids)
+        # repeated padding rows contribute zero loss
+        if n_real is not None:
+            tlen[n_real:] = 0
+        out["targets"] = tgt
+        out["target_lengths"] = tlen
+        return out
+
+
+class PrefetchIterator:
+    """Background-thread prefetch (tf.data's prefetch equivalent,
+    SURVEY.md §2.3 row 5): batch assembly overlaps device compute."""
+
+    def __init__(self, iterator: Iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    return PrefetchIterator(iterator, depth)
+
+
+def to_model_batch(np_batch: NumpyBatch):
+    """NumpyBatch -> seq2seq.Batch (jax arrays created lazily by jit)."""
+    from avsr_tpu.models.seq2seq import Batch
+
+    return Batch(
+        audio=np_batch.get("audio"),
+        audio_lengths=np_batch.get("audio_lengths"),
+        video=np_batch.get("video"),
+        video_lengths=np_batch.get("video_lengths"),
+        targets=np_batch.get("targets"),
+        target_lengths=np_batch.get("target_lengths"),
+        au_targets=np_batch.get("au_targets"),
+    )

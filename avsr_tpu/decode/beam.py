@@ -93,7 +93,13 @@ def beam_search(
             compute_dtype=compute_dtype,
         )
         V = logits.shape[-1]
-        step_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, W, V)
+        step_logp = jax.nn.log_softmax(logits, axis=-1)
+        # PAD/GO are bookkeeping ids, never legal emissions.  Masked AFTER
+        # the softmax so surviving scores are true model log probs (TF1
+        # BeamSearchDecoder semantics), not renormalized ones.
+        step_logp = (
+            step_logp.at[:, PAD_ID].set(NEG_INF).at[:, GO_ID].set(NEG_INF)
+        ).reshape(B, W, V)
 
         # Finished beams: only EOS continues, contributing 0 log prob.
         eos_only = jnp.full((V,), NEG_INF).at[EOS_ID].set(0.0)
@@ -102,8 +108,8 @@ def beam_search(
         )
 
         cand_logp = logp[:, :, None] + step_logp                 # [B, W, V]
-        cand_lens = lens[:, :, None] + jnp.where(
-            finished[:, :, None], 0, 1
+        cand_lens = jnp.broadcast_to(
+            (lens + jnp.where(finished, 0, 1))[:, :, None], (B, W, V)
         )                                                         # [B, W, V]
         cand_scores = cand_logp / _length_penalty(cand_lens, length_penalty)
 

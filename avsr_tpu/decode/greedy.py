@@ -38,6 +38,8 @@ def greedy_decode(
         state, logits = dec.decoder_step(
             params, cfg, tok, state, memories, compute_dtype=compute_dtype
         )
+        # PAD/GO are bookkeeping ids, never legal emissions.
+        logits = logits.at[:, PAD_ID].set(-1e30).at[:, GO_ID].set(-1e30)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         out = jnp.where(done, PAD_ID, nxt)
         done_new = jnp.logical_or(done, nxt == EOS_ID)

@@ -28,13 +28,18 @@ def encoder_init(key, cfg: EncoderConfig, input_dim: int, dtype=jnp.float32) -> 
             kf, kb = jax.random.split(k)
             layers.append(
                 {
-                    "fwd": rnn.cell_init(cfg.cell_type, kf, d, h, dtype),
-                    "bwd": rnn.cell_init(cfg.cell_type, kb, d, h, dtype),
+                    "fwd": rnn.cell_init(cfg.cell_type, kf, d, h, dtype,
+                                         layer_norm=cfg.layer_norm),
+                    "bwd": rnn.cell_init(cfg.cell_type, kb, d, h, dtype,
+                                         layer_norm=cfg.layer_norm),
                 }
             )
             d = 2 * h
         else:
-            layers.append({"fwd": rnn.cell_init(cfg.cell_type, k, d, h, dtype)})
+            layers.append(
+                {"fwd": rnn.cell_init(cfg.cell_type, k, d, h, dtype,
+                                      layer_norm=cfg.layer_norm)}
+            )
             d = h
     return {"layers": layers}
 
@@ -68,16 +73,36 @@ def encoder_apply(
     mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
     h = x_tbd
     final_state = None
+    use_rd = (
+        train and cfg.recurrent_dropout_rate > 0.0 and dropout_rng is not None
+        and cfg.cell_type == "lstm"
+    )
     for i, layer in enumerate(params["layers"]):
         prev = h
+        rd_masks = None
+        if use_rd:
+            # Variational recurrent dropout: one fixed [B, H] mask per
+            # layer/direction, applied to the recurrent input every step.
+            keep = 1.0 - cfg.recurrent_dropout_rate
+            H = layer["fwd"]["wh"].shape[0]
+            dropout_rng, k1, k2 = jax.random.split(dropout_rng, 3)
+            mk = lambda k: (
+                jax.random.bernoulli(k, keep, (B, H)).astype(jnp.float32) / keep
+            )
+            rd_masks = (mk(k1), mk(k2))
         if cfg.bidirectional:
             h, final_state = rnn.bidirectional_scan(
                 cfg.cell_type, layer["fwd"], layer["bwd"], h, mask,
                 compute_dtype=compute_dtype,
+                recurrent_dropout_masks=rd_masks,
             )
         else:
+            kw = {}
+            if rd_masks is not None:
+                kw["recurrent_dropout_mask"] = rd_masks[0]
             h, final_state = rnn.rnn_scan(
-                cfg.cell_type, layer["fwd"], h, mask, compute_dtype=compute_dtype
+                cfg.cell_type, layer["fwd"], h, mask,
+                compute_dtype=compute_dtype, **kw,
             )
         if cfg.residual and prev.shape[-1] == h.shape[-1]:
             h = h + prev

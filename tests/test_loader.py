@@ -1,0 +1,91 @@
+"""Input-pipeline tests: bucketing, static shapes, GO/EOS, partial batches."""
+
+import numpy as np
+
+from avsr_tpu.configs import DataConfig
+from avsr_tpu.data.loader import BucketingLoader, to_model_batch
+from avsr_tpu.data.synthetic import SyntheticSpec, generate
+from avsr_tpu.data.units import EOS_ID, builtin_unit_dict
+
+
+def make_loader(n=10, batch=4, **cfg_kw):
+    utts = generate(SyntheticSpec(num_utterances=n, seed=5, alphabet="abc"))
+    cfg = DataConfig(
+        batch_size=batch,
+        audio_bucket_boundaries=cfg_kw.pop("bounds", (40, 80, 160)),
+        max_label_length=8,
+        **cfg_kw,
+    )
+    units = builtin_unit_dict("character")
+    return BucketingLoader(
+        utts, units, cfg, require_audio=True, require_video=True,
+        frame_step=160, frame_length=400,
+    ), utts, units
+
+
+def test_static_shapes_per_bucket():
+    loader, _, _ = make_loader()
+    shapes = loader.bucket_shapes()
+    seen = {}
+    for bucket, batch in loader.epoch():
+        bs = shapes[bucket]
+        assert batch["audio"].shape == (4, bs.audio_samples)
+        assert batch["video"].shape[:2] == (4, bs.video_frames)
+        assert batch["targets"].shape == (4, bs.label_len)
+        key = (bucket, batch["audio"].shape, batch["video"].shape)
+        seen[key] = seen.get(key, 0) + 1
+    assert seen  # at least one batch
+
+
+def test_labels_have_eos_and_lengths():
+    loader, utts, units = make_loader()
+    by_uid = {u.uid: u for u in utts}
+    for _, batch in loader.epoch(shuffle=False):
+        for j in range(batch["num_real"]):
+            L = batch["target_lengths"][j]
+            assert batch["targets"][j, L - 1] == EOS_ID
+            got = units.decode(batch["targets"][j])
+            assert got == by_uid[batch["uids"][j]].transcript
+
+
+def test_partial_batch_padding_rows_zero_weight():
+    loader, _, _ = make_loader(n=5, batch=4, bounds=(10_000,))
+    batches = list(loader.epoch(shuffle=False))
+    # 5 utterances, batch 4, single bucket -> one full + one padded batch
+    assert len(batches) == 2
+    last = batches[-1][1]
+    assert last["num_real"] == 1
+    assert np.all(last["target_lengths"][1:] == 0)
+
+
+def test_epoch_shuffle_changes_order_deterministically():
+    loader, _, _ = make_loader(n=10, batch=2)
+    order1 = [b["uids"] for _, b in loader.epoch()]
+    order2 = [b["uids"] for _, b in loader.epoch()]
+    # epochs differ...
+    assert order1 != order2
+    # ...but the same seed reproduces the same stream
+    loader2, _, _ = make_loader(n=10, batch=2)
+    order1b = [b["uids"] for _, b in loader2.epoch()]
+    assert order1 == order1b
+
+
+def test_prefetch_equivalence():
+    from avsr_tpu.data.loader import prefetch
+
+    loader, _, _ = make_loader()
+    direct = [(b, tuple(batch["uids"])) for b, batch in loader.epoch(shuffle=False)]
+    loader2, _, _ = make_loader()
+    pre = [
+        (b, tuple(batch["uids"]))
+        for b, batch in prefetch(loader2.epoch(shuffle=False))
+    ]
+    assert direct == pre
+
+
+def test_to_model_batch_fields():
+    loader, _, _ = make_loader()
+    _, np_batch = next(iter(loader.epoch()))
+    mb = to_model_batch(np_batch)
+    assert mb.audio is not None and mb.video is not None
+    assert mb.targets.dtype == np.int32

@@ -1,0 +1,84 @@
+"""On-device noise mixing: achieved SNR must match the label (SURVEY.md §4.1,
+§7.3 hard-part 6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsr_tpu.data.synthetic import make_noise_bank
+from avsr_tpu.ops import noise as noise_ops
+
+
+def measured_snr_db(clean, noisy, length):
+    clean = clean[:length]
+    added = noisy[:length] - clean
+    return 10.0 * np.log10(np.mean(clean**2) / np.mean(added**2))
+
+
+@pytest.mark.parametrize("target", [-5.0, 0.0, 10.0, 20.0])
+def test_mix_at_snr_achieves_target(target):
+    sr = 16000
+    t = np.arange(sr) / sr
+    clean = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None, :]
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal((1, sr)).astype(np.float32)
+    lengths = jnp.asarray([sr], jnp.int32)
+    noisy = np.asarray(
+        noise_ops.mix_at_snr(
+            jnp.asarray(clean), lengths, jnp.asarray(noise),
+            jnp.asarray([target], jnp.float32),
+        )
+    )
+    got = measured_snr_db(clean[0], noisy[0], sr)
+    assert abs(got - target) < 0.1, (got, target)
+
+
+def test_mix_respects_padding():
+    sr = 8000
+    clean = np.zeros((1, sr), np.float32)
+    clean[0, :4000] = 0.5
+    noise = np.ones((1, sr), np.float32)
+    lengths = jnp.asarray([4000], jnp.int32)
+    noisy = np.asarray(
+        noise_ops.mix_at_snr(
+            jnp.asarray(clean), lengths, jnp.asarray(noise),
+            jnp.asarray([0.0], jnp.float32),
+        )
+    )
+    np.testing.assert_allclose(noisy[0, 4000:], 0.0, atol=1e-7)
+
+
+def test_sample_and_mix_shapes_and_determinism():
+    bank = jnp.asarray(make_noise_bank(num_rows=3, row_samples=10_000))
+    rngk = jax.random.PRNGKey(0)
+    wav = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, 8000)).astype(np.float32)
+    )
+    lengths = jnp.asarray([8000, 6000, 4000, 2000], jnp.int32)
+    a = np.asarray(
+        noise_ops.sample_and_mix(rngk, wav, lengths, bank, (0.0, 10.0), 0.0)
+    )
+    b = np.asarray(
+        noise_ops.sample_and_mix(rngk, wav, lengths, bank, (0.0, 10.0), 0.0)
+    )
+    np.testing.assert_array_equal(a, b)  # same key -> same mix
+    c = np.asarray(
+        noise_ops.sample_and_mix(
+            jax.random.PRNGKey(7), wav, lengths, bank, (0.0, 10.0), 0.0
+        )
+    )
+    assert not np.allclose(a, c)  # different key -> different mix
+
+
+def test_fixed_snr_eval_mixing_is_deterministic():
+    bank = jnp.asarray(make_noise_bank(num_rows=2, row_samples=10_000))
+    wav = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 8000)).astype(np.float32)
+    )
+    lengths = jnp.asarray([8000, 8000], jnp.int32)
+    a = np.asarray(noise_ops.mix_fixed_snr(wav, lengths, bank, 10.0))
+    b = np.asarray(noise_ops.mix_fixed_snr(wav, lengths, bank, 10.0))
+    np.testing.assert_array_equal(a, b)
+    got = measured_snr_db(np.asarray(wav)[0], a[0], 8000)
+    assert abs(got - 10.0) < 0.1

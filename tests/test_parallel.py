@@ -1,0 +1,56 @@
+"""Data-parallel correctness on the 8-device CPU mesh (SURVEY.md §4.5):
+pjit DP gradients equal single-device large-batch gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsr_tpu.models import seq2seq
+from avsr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from tests.test_seq2seq import VOCAB, tiny_batch, tiny_config
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_grads_match_single_device(rng):
+    cfg = tiny_config("audio")
+    params = seq2seq.model_init(jax.random.PRNGKey(0), cfg, VOCAB)
+    B = 8
+    batch = tiny_batch("audio", rng, B=B)
+    # equal lengths so per-row loss weights are uniform
+    batch = batch._replace(
+        audio_lengths=jnp.full((B,), batch.audio.shape[1], jnp.int32),
+        target_lengths=jnp.full((B,), batch.targets.shape[1], jnp.int32),
+    )
+
+    def loss(p, b):
+        return seq2seq.loss_fn(p, cfg, b, train=False)[0]
+
+    g_single = jax.grad(loss)(params, batch)
+
+    mesh = make_mesh(num_data=8)
+    p_repl = replicate(mesh, params)
+    b_shard = shard_batch(mesh, batch)
+    g_dp = jax.jit(jax.grad(loss))(p_repl, b_shard)
+
+    flat_s, _ = jax.tree_util.tree_flatten(g_single)
+    flat_d, _ = jax.tree_util.tree_flatten(g_dp)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))

@@ -127,6 +127,19 @@ def test_bidirectional_concat(rng):
     np.testing.assert_allclose(np.asarray(ys)[:, :, H:], np.asarray(ys_b), rtol=1e-6)
 
 
+def test_layer_norm_lstm_runs_and_differs(rng):
+    T, B, D, H = 5, 2, 3, 8
+    key = jax.random.PRNGKey(6)
+    p_ln = rnn.lstm_init(key, D, H, layer_norm=True)
+    p_plain = {k: v for k, v in p_ln.items() if not k.startswith("ln")}
+    x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+    mask = jnp.ones((T, B), jnp.float32)
+    ys_ln, _ = rnn.lstm_scan(p_ln, x, mask, compute_dtype=jnp.float32)
+    ys_pl, _ = rnn.lstm_scan(p_plain, x, mask, compute_dtype=jnp.float32)
+    assert np.all(np.isfinite(np.asarray(ys_ln)))
+    assert not np.allclose(np.asarray(ys_ln), np.asarray(ys_pl))
+
+
 def test_jit_vs_nojit(rng):
     T, B, D, H = 6, 2, 4, 4
     params = rnn.lstm_init(jax.random.PRNGKey(5), D, H)

@@ -1,0 +1,141 @@
+"""End-to-end forward/loss smoke tests for all four regimes
+[BASELINE.json:configs] on tiny shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avsr_tpu.configs import (
+    AudioFrontendConfig,
+    DataConfig,
+    DecodeConfig,
+    DecoderConfig,
+    EncoderConfig,
+    ExperimentConfig,
+    FusionConfig,
+    NoiseConfig,
+    TrainConfig,
+    VideoFrontendConfig,
+)
+from avsr_tpu.models import seq2seq
+from avsr_tpu.models.seq2seq import Batch
+
+VOCAB = 12
+
+
+def tiny_config(arch: str, **kw) -> ExperimentConfig:
+    return ExperimentConfig(
+        architecture=arch,
+        audio=AudioFrontendConfig(
+            num_mel_bins=8, fft_length=256, frame_stacking=2, frame_skipping=2,
+            add_deltas=False,
+        ),
+        video=VideoFrontendConfig(
+            roi_height=12, roi_width=12, conv_channels=(4, 8), embedding_dim=16
+        ),
+        audio_encoder=EncoderConfig(hidden_units=(16,), bidirectional=True,
+                                    dropout_rate=0.0),
+        video_encoder=EncoderConfig(hidden_units=(16,), bidirectional=True,
+                                    dropout_rate=0.0),
+        fusion=FusionConfig(attention_units=8, **kw.pop("fusion_kw", {})),
+        decoder=DecoderConfig(
+            embedding_dim=8, hidden_units=(16,), attention_units=8,
+            max_label_length=6, dropout_rate=0.0,
+        ),
+        train=TrainConfig(compute_dtype="float32"),
+        **kw,
+    )
+
+
+def tiny_batch(arch: str, rng, B=2, S=4000, Tv=10, K=6):
+    batch = {}
+    if arch in ("audio", "av_align", "bimodal"):
+        batch["audio"] = jnp.asarray(
+            rng.standard_normal((B, S)).astype(np.float32)
+        )
+        batch["audio_lengths"] = jnp.asarray([S, S // 2], jnp.int32)
+    if arch in ("video", "av_align", "bimodal"):
+        batch["video"] = jnp.asarray(
+            rng.standard_normal((B, Tv, 12, 12, 1)).astype(np.float32)
+        )
+        batch["video_lengths"] = jnp.asarray([Tv, Tv - 3], jnp.int32)
+    batch["targets"] = jnp.asarray(rng.integers(3, VOCAB, (B, K)), jnp.int32)
+    batch["target_lengths"] = jnp.asarray([K, K - 2], jnp.int32)
+    return Batch(**batch)
+
+
+@pytest.mark.parametrize("arch", ["audio", "video", "av_align", "bimodal"])
+def test_forward_and_loss(arch, rng):
+    cfg = tiny_config(arch)
+    params = seq2seq.model_init(jax.random.PRNGKey(0), cfg, VOCAB)
+    batch = tiny_batch(arch, rng)
+    loss, metrics = jax.jit(
+        lambda p, b: seq2seq.loss_fn(p, cfg, b, train=False)
+    )(params, batch)
+    assert np.isfinite(float(loss))
+    logits, aux = seq2seq.forward(params, cfg, batch, train=False)
+    assert logits.shape == (2, 6, VOCAB)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_av_align_emits_alignments_and_au(rng):
+    cfg = tiny_config("av_align", fusion_kw=dict(au_loss_weight=1.0, au_dim=2))
+    params = seq2seq.model_init(jax.random.PRNGKey(1), cfg, VOCAB)
+    batch = tiny_batch("av_align", rng)
+    out = seq2seq.encode(params, cfg, batch, train=False)
+    assert out.aux["au_predictions"] is not None
+    aligns = np.asarray(out.aux["av_alignments"])  # [T_a, B, T_v]
+    # alignment rows over valid audio steps sum to 1 within valid video range
+    fl = np.asarray(out.aux["audio_feature_lengths"])
+    sums = aligns[: fl[1], 1].sum(-1)
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
+
+
+def test_av_align_au_loss_changes_total(rng):
+    cfg = tiny_config("av_align", fusion_kw=dict(au_loss_weight=5.0, au_dim=2))
+    params = seq2seq.model_init(jax.random.PRNGKey(2), cfg, VOCAB)
+    b = tiny_batch("av_align", rng)
+    out = seq2seq.encode(params, cfg, b, train=False)
+    T_a = out.aux["au_predictions"].shape[0]
+    au_targets = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, T_a, 2)).astype(np.float32)
+    )
+    b2 = b._replace(au_targets=au_targets)
+    l_with, m_with = seq2seq.loss_fn(params, cfg, b2, train=True,
+                                     rng=jax.random.PRNGKey(0))
+    l_wo, _ = seq2seq.loss_fn(params, cfg, b, train=True,
+                              rng=jax.random.PRNGKey(0))
+    assert "au_loss" in m_with
+    assert float(l_with) != pytest.approx(float(l_wo))
+
+
+def test_grads_flow_everywhere(rng):
+    """Every parameter receives a nonzero gradient in the AV-Align regime."""
+    cfg = tiny_config("av_align")
+    params = seq2seq.model_init(jax.random.PRNGKey(3), cfg, VOCAB)
+    batch = tiny_batch("av_align", rng)
+    grads = jax.grad(
+        lambda p: seq2seq.loss_fn(p, cfg, batch, train=False)[0]
+    )(params)
+    leaves = jax.tree_util.tree_leaves_with_path(grads)
+    zero = [
+        jax.tree_util.keystr(path)
+        for path, g in leaves
+        if float(jnp.max(jnp.abs(g))) == 0.0
+    ]
+    assert not zero, f"zero gradients at: {zero}"
+
+
+def test_noise_mixing_in_training_path(rng):
+    from avsr_tpu.data.synthetic import make_noise_bank
+
+    cfg = tiny_config("audio", noise=NoiseConfig(enabled=True))
+    params = seq2seq.model_init(jax.random.PRNGKey(4), cfg, VOCAB)
+    batch = tiny_batch("audio", rng)
+    bank = jnp.asarray(make_noise_bank(num_rows=2, row_samples=8000))
+    l_clean, _ = seq2seq.loss_fn(params, cfg, batch, train=True,
+                                 rng=jax.random.PRNGKey(0))
+    l_noisy, _ = seq2seq.loss_fn(params, cfg, batch, train=True,
+                                 rng=jax.random.PRNGKey(0), noise_bank=bank)
+    assert float(l_clean) != pytest.approx(float(l_noisy))

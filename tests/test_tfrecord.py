@@ -1,0 +1,90 @@
+"""TFRecord container + SequenceExample codec tests (SURVEY.md §4.1).
+
+Includes an interop check against TensorFlow's own serialization: TF is
+allowed in tests/offline tooling only, never in the training path
+(SURVEY §7.0).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from avsr_tpu.data import proto, tfrecord
+from avsr_tpu.data.synthetic import SyntheticSpec, Utterance, generate
+
+
+def test_container_roundtrip(tmp_path):
+    payloads = [b"alpha", b"bravo" * 100, b"", b"\x00\xff" * 33]
+    path = str(tmp_path / "t.tfrecord")
+    with tfrecord.TFRecordWriter(path) as w:
+        for p in payloads:
+            w.write(p)
+    got = list(tfrecord.iter_records(path))
+    assert got == payloads
+
+
+def test_container_detects_corruption(tmp_path):
+    path = str(tmp_path / "t.tfrecord")
+    with tfrecord.TFRecordWriter(path) as w:
+        w.write(b"payload-data-here")
+    raw = bytearray(open(path, "rb").read())
+    raw[14] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        list(tfrecord.iter_records(path))
+
+
+def test_utterance_roundtrip():
+    utts = generate(SyntheticSpec(num_utterances=3, seed=7))
+    for u in utts:
+        data = tfrecord.utterance_to_bytes(u)
+        v = tfrecord.utterance_from_bytes(data)
+        assert v.uid == u.uid and v.transcript == u.transcript
+        np.testing.assert_allclose(v.waveform, u.waveform, rtol=1e-6)
+        np.testing.assert_allclose(v.video, u.video, rtol=1e-6)
+        np.testing.assert_allclose(v.au, u.au, rtol=1e-6)
+
+
+def test_dataset_file_roundtrip(tmp_path):
+    utts = generate(SyntheticSpec(num_utterances=4, seed=3))
+    path = str(tmp_path / "d.tfrecord")
+    tfrecord.write_dataset(utts, path)
+    got = tfrecord.read_dataset(path)
+    assert [g.uid for g in got] == [u.uid for u in utts]
+    np.testing.assert_allclose(got[2].waveform, utts[2].waveform, rtol=1e-6)
+
+
+def test_proto_feature_roundtrip():
+    cases = [
+        [b"ab", b"", b"xyz"],
+        [1.5, -2.25, 0.0],
+        [0, -1, 1, 2**40, -(2**40)],
+        [],
+    ]
+    for v in cases:
+        got = proto.decode_feature(proto.encode_feature(v))
+        if v and isinstance(v[0], float):
+            assert got == pytest.approx(v)
+        else:
+            assert got == v
+
+
+def test_sequence_example_tf_interop():
+    tf = pytest.importorskip("tensorflow")
+    context = {"uid": [b"u1"], "n": [42], "x": [1.5, 2.5]}
+    fls = {"frames": [[1.0, 2.0], [3.0, 4.0]], "tags": [[b"a"], [b"b"]]}
+    blob = proto.encode_sequence_example(context, fls)
+    # TF must parse our bytes
+    se = tf.train.SequenceExample.FromString(blob)
+    assert se.context.feature["uid"].bytes_list.value[0] == b"u1"
+    assert se.context.feature["n"].int64_list.value[0] == 42
+    assert list(
+        se.feature_lists.feature_list["frames"].feature[1].float_list.value
+    ) == [3.0, 4.0]
+    # We must parse TF's bytes
+    ctx2, fls2 = proto.decode_sequence_example(se.SerializeToString())
+    assert ctx2["uid"] == [b"u1"]
+    assert ctx2["n"] == [42]
+    assert fls2["frames"] == [[1.0, 2.0], [3.0, 4.0]]
+    assert fls2["tags"] == [[b"a"], [b"b"]]

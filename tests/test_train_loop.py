@@ -1,0 +1,95 @@
+"""Integration: overfit synthetic data to ~0 CER, checkpoint/resume
+bit-exactness (SURVEY.md §4.4)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from avsr_tpu.avsr import AVSR
+from avsr_tpu.configs import (
+    AudioFrontendConfig,
+    DataConfig,
+    DecodeConfig,
+    DecoderConfig,
+    EncoderConfig,
+    ExperimentConfig,
+    FusionConfig,
+    TrainConfig,
+    VideoFrontendConfig,
+)
+from avsr_tpu.data.synthetic import SyntheticSpec, generate
+
+
+def overfit_config(arch: str, tmp: str, epochs: int = 14) -> ExperimentConfig:
+    return ExperimentConfig(
+        architecture=arch,
+        audio=AudioFrontendConfig(
+            num_mel_bins=12, fft_length=256, frame_stacking=3,
+            frame_skipping=3, add_deltas=False,
+        ),
+        video=VideoFrontendConfig(
+            roi_height=20, roi_width=20, conv_channels=(4, 8), embedding_dim=24
+        ),
+        audio_encoder=EncoderConfig(hidden_units=(48,), bidirectional=True,
+                                    dropout_rate=0.0),
+        video_encoder=EncoderConfig(hidden_units=(32,), bidirectional=True,
+                                    dropout_rate=0.0),
+        fusion=FusionConfig(attention_units=24),
+        decoder=DecoderConfig(embedding_dim=16, hidden_units=(48,),
+                              attention_units=24, max_label_length=8,
+                              dropout_rate=0.0),
+        data=DataConfig(batch_size=8, audio_bucket_boundaries=(80,),
+                        max_label_length=8, video_fps=25.0),
+        train=TrainConfig(learning_rate=5e-3, num_epochs=epochs,
+                          compute_dtype="float32", log_every_steps=10,
+                          keep_checkpoints=2),
+        decode=DecodeConfig(beam_width=4, max_decode_length=8),
+        name=f"overfit_{arch}",
+    )
+
+
+def synth(n=16, seed=0):
+    return generate(SyntheticSpec(
+        num_utterances=n, min_chars=2, max_chars=4, seed=seed,
+        alphabet="abcd", char_duration_s=0.1,
+    ))
+
+
+@pytest.fixture(scope="module")
+def data():
+    return synth()
+
+
+def test_overfit_audio_and_resume(tmp_path, data):
+    cfg = overfit_config("audio", str(tmp_path))
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "run"),
+                train_utterances=data, eval_utterances=data)
+    avsr.train(num_epochs=cfg.train.num_epochs)
+    summary = avsr.evaluate(use_beam=True)
+    assert summary["cer"] < 0.15, summary
+
+    # ---- resume: a fresh AVSR restoring the latest checkpoint must produce
+    # identical params (bit-exact continuation, SURVEY §4.4).
+    trained = avsr.trainer.state.params
+    avsr2 = AVSR(config=cfg, run_dir=str(tmp_path / "run"),
+                 train_utterances=data, eval_utterances=data)
+    assert avsr2.trainer.try_restore_latest_checkpoint()
+    restored = avsr2.trainer.state.params
+    flat1 = jax.tree_util.tree_leaves(trained)
+    flat2 = jax.tree_util.tree_leaves(restored)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored step carries on
+    assert int(avsr2.trainer.state.step) == int(avsr.trainer.state.step)
+
+
+def test_overfit_video(tmp_path, data):
+    cfg = overfit_config("video", str(tmp_path), epochs=16)
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runv"),
+                train_utterances=data, eval_utterances=data)
+    avsr.train(num_epochs=cfg.train.num_epochs)
+    summary = avsr.evaluate(use_beam=False)
+    # visual-only is harder; require clear learning, not perfection
+    assert summary["cer"] < 0.5, summary
