@@ -81,15 +81,17 @@ def video_cnn_apply(
 
     x = frames.reshape(B * T, *frames.shape[2:]).astype(compute_dtype)
     for conv in params["convs"]:
+        # Conv runs entirely in compute_dtype (a fp32 preferred_element_type
+        # here would make the grad-transpose conv see mixed dtypes); bias add
+        # and ReLU happen in fp32.
         x = jax.lax.conv_general_dilated(
             x,
             conv["w"].astype(compute_dtype),
             window_strides=(cfg.conv_stride, cfg.conv_stride),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        x = jax.nn.relu(x + conv["b"])
+        x = jax.nn.relu(x.astype(jnp.float32) + conv["b"])
         x = x.astype(compute_dtype)
     x = x.reshape(B * T, -1)
     emb = jnp.dot(

@@ -109,12 +109,16 @@ def _dft_matrices(frame_length: int, fft_length: int) -> Tuple[np.ndarray, np.nd
     negligible against the TPU's matmul throughput, and it avoids XLA's slow
     TPU FFT path entirely.
     """
+    # rfft(x, n) zero-pads when n > len(x) and TRUNCATES when n < len(x);
+    # the window applies to the full frame before truncation, so the
+    # effective matrix rows are min(frame_length, fft_length).
+    eff = min(frame_length, fft_length)
     n = np.arange(fft_length)[:, None]          # time index within fft frame
     k = np.arange(fft_length // 2 + 1)[None, :]  # output bin
     ang = -2.0 * np.pi * n * k / fft_length
-    cos = np.cos(ang)[:frame_length, :]
-    sin = np.sin(ang)[:frame_length, :]
-    win = hann_window(frame_length)[:, None].astype(np.float64)
+    cos = np.cos(ang)[:eff, :]
+    sin = np.sin(ang)[:eff, :]
+    win = hann_window(frame_length)[:eff, None].astype(np.float64)
     return (cos * win).astype(np.float32), (sin * win).astype(np.float32)
 
 
@@ -136,14 +140,14 @@ def stft_power(
     frames = frame_signal(wav, frame_length, frame_step)
     if use_matmul_dft:
         cos_m, sin_m = _dft_matrices(frame_length, fft_length)
+        eff = cos_m.shape[0]  # rfft truncates frames longer than fft_length
+        f = frames[..., :eff].astype(compute_dtype)
         re = jnp.einsum(
-            "btf,fk->btk", frames.astype(compute_dtype),
-            jnp.asarray(cos_m, compute_dtype),
+            "btf,fk->btk", f, jnp.asarray(cos_m, compute_dtype),
             preferred_element_type=jnp.float32,
         )
         im = jnp.einsum(
-            "btf,fk->btk", frames.astype(compute_dtype),
-            jnp.asarray(sin_m, compute_dtype),
+            "btf,fk->btk", f, jnp.asarray(sin_m, compute_dtype),
             preferred_element_type=jnp.float32,
         )
         return re * re + im * im

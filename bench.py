@@ -90,13 +90,21 @@ def main() -> None:
 
     for _ in range(WARMUP_STEPS):
         state, metrics = train_step(state, batch, key)
-    jax.block_until_ready(state.params)
+        float(metrics["loss"])  # hard host sync
 
-    t0 = time.perf_counter()
+    # Per-step synced timing (a device->host scalar fetch each step) is the
+    # honest protocol here: the experimental axon relay platform has been
+    # observed returning from block_until_ready early, which a bulk-timed
+    # loop would misreport as impossible throughput.
+    times = []
     for _ in range(MEASURE_STEPS):
+        t0 = time.perf_counter()
         state, metrics = train_step(state, batch, key)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+        float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt_step = times[len(times) // 2]  # median step time
+    dt = dt_step * MEASURE_STEPS
 
     # 10 ms audio frames consumed per step.
     frames_per_step = BATCH * int(

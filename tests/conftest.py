@@ -7,7 +7,12 @@ deterministic.  Must set the env vars BEFORE jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even though the environment's sitecustomize registers the axon
+# TPU plugin and sets JAX_PLATFORMS=axon before we run: overriding the env
+# var alone is NOT enough (jax may already be imported by the site hook), so
+# also update jax.config after import.  Backends initialize lazily, so the
+# XLA_FLAGS device count still takes effect here.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +21,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

@@ -51,9 +51,10 @@ def overfit_config(arch: str, tmp: str, epochs: int = 14) -> ExperimentConfig:
 
 
 def synth(n=16, seed=0):
+    # roi must match overfit_config's VideoFrontendConfig (20x20 crops)
     return generate(SyntheticSpec(
         num_utterances=n, min_chars=2, max_chars=4, seed=seed,
-        alphabet="abcd", char_duration_s=0.1,
+        alphabet="abcd", char_duration_s=0.1, roi=20,
     ))
 
 
