@@ -168,11 +168,16 @@ class AVSR:
 
         need_audio = config.architecture in ("audio", "av_align", "bimodal")
         need_video = config.architecture in ("video", "av_align", "bimodal")
+        au_stacking = None
+        if config.architecture == "av_align" and config.fusion.au_loss_weight > 0:
+            au_stacking = (config.audio.frame_stacking, config.audio.frame_skipping)
         mk = lambda utts: BucketingLoader(
             utts, self.unit_dict, config.data,
             require_audio=need_audio, require_video=need_video,
             frame_step=config.audio.frame_step,
             frame_length=config.audio.frame_length,
+            au_target_stacking=au_stacking,
+            au_dim=config.fusion.au_dim,
         )
         self.train_loader = mk(train_utts)
         self.eval_loader = mk(eval_utts) if eval_utts is not None else None

@@ -72,7 +72,11 @@ class BucketingLoader:
         require_video: bool = False,
         frame_step: int = 160,
         frame_length: int = 400,
-        au_targets_frames: Optional[int] = None,
+        # Emit per-audio-feature-frame AU regression targets (TASLP AU loss):
+        # video-rate AU curves resampled to the stacked-feature rate by
+        # nearest frame.  Tuple (stack, skip) of the audio frontend, or None.
+        au_target_stacking: Optional[Tuple[int, int]] = None,
+        au_dim: int = 2,
         seed: Optional[int] = None,
     ):
         self.utts = utterances
@@ -82,6 +86,8 @@ class BucketingLoader:
         self.require_video = require_video
         self.frame_step = frame_step
         self.frame_length = frame_length
+        self.au_target_stacking = au_target_stacking
+        self.au_dim = au_dim
         self.seed = cfg.seed if seed is None else seed
         self._epoch = 0
 
@@ -190,6 +196,30 @@ class BucketingLoader:
                     vlen[j] = n
             out["video"] = vid
             out["video_lengths"] = vlen
+
+        if self.au_target_stacking is not None:
+            stack, skip = self.au_target_stacking
+            # audio feature frames for this bucket's padded waveform
+            T_raw = max((shape.audio_samples - self.frame_length)
+                        // self.frame_step + 1, 1)
+            T_a = max((T_raw - stack) // skip + 1, 1)
+            au_t = np.zeros((B, T_a, self.au_dim), np.float32)
+            feat_rate = 100.0 / skip  # stacked-feature frames per second
+            for j, i in enumerate(idxs):
+                au = self.utts[i].au
+                if au is None:
+                    continue
+                n_aud = max(
+                    ((min(int(self.audio_len[i]), shape.audio_samples)
+                      - self.frame_length) // self.frame_step + 1 - stack)
+                    // skip + 1, 0)
+                for t in range(min(n_aud, T_a)):
+                    v_idx = min(
+                        int(round(t / feat_rate * self.cfg.video_fps)),
+                        au.shape[0] - 1,
+                    )
+                    au_t[j, t, : au.shape[1]] = au[v_idx, : self.au_dim]
+            out["au_targets"] = au_t
 
         K = shape.label_len
         tgt = np.zeros((B, K), np.int32)

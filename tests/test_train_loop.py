@@ -22,7 +22,7 @@ from avsr_tpu.configs import (
 from avsr_tpu.data.synthetic import SyntheticSpec, generate
 
 
-def overfit_config(arch: str, tmp: str, epochs: int = 14) -> ExperimentConfig:
+def overfit_config(arch: str, tmp: str, epochs: int = 45) -> ExperimentConfig:
     return ExperimentConfig(
         architecture=arch,
         audio=AudioFrontendConfig(
@@ -44,7 +44,7 @@ def overfit_config(arch: str, tmp: str, epochs: int = 14) -> ExperimentConfig:
                         max_label_length=8, video_fps=25.0),
         train=TrainConfig(learning_rate=5e-3, num_epochs=epochs,
                           compute_dtype="float32", log_every_steps=10,
-                          keep_checkpoints=2),
+                          keep_checkpoints=2, eval_every_epochs=15),
         decode=DecodeConfig(beam_width=4, max_decode_length=8),
         name=f"overfit_{arch}",
     )
@@ -84,6 +84,31 @@ def test_overfit_audio_and_resume(tmp_path, data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # restored step carries on
     assert int(avsr2.trainer.state.step) == int(avsr.trainer.state.step)
+
+
+def test_overfit_av_align_with_au_loss_and_noise(tmp_path, data):
+    """AV-Align + AU auxiliary loss + on-device noise mixing, end to end
+    [BASELINE.json:configs[2..3]]."""
+    from avsr_tpu.configs import NoiseConfig
+    from avsr_tpu.data.synthetic import make_noise_bank
+
+    cfg = overfit_config("av_align", str(tmp_path), epochs=30)
+    cfg = cfg.replace(
+        fusion=cfg.fusion.__class__(
+            attention_units=24, au_loss_weight=0.5, au_dim=2
+        ),
+        noise=NoiseConfig(enabled=True, snr_db=(20.0,), clean_probability=0.5),
+    )
+    bank = make_noise_bank(num_rows=2, row_samples=40_000)
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runav"),
+                train_utterances=data, eval_utterances=data,
+                noise_bank=bank)
+    # loader must be emitting AU targets for the AU loss path
+    _, b0 = next(iter(avsr.train_loader.epoch()))
+    assert "au_targets" in b0 and b0["au_targets"].ndim == 3
+    avsr.train(num_epochs=cfg.train.num_epochs)
+    summary = avsr.evaluate(use_beam=True)
+    assert summary["cer"] < 0.35, summary
 
 
 def test_overfit_video(tmp_path, data):
