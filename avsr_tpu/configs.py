@@ -110,6 +110,9 @@ class EncoderConfig:
     # residual connections between stacked layers where dims match
     residual: bool = False
     layer_norm: bool = False
+    # lax.scan unroll factor (trades compile time/code size for fewer
+    # sequential loop iterations on TPU)
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

@@ -93,7 +93,7 @@ def encoder_apply(
         if cfg.bidirectional:
             h, final_state = rnn.bidirectional_scan(
                 cfg.cell_type, layer["fwd"], layer["bwd"], h, mask,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, unroll=cfg.scan_unroll,
                 recurrent_dropout_masks=rd_masks,
             )
         else:
@@ -102,7 +102,7 @@ def encoder_apply(
                 kw["recurrent_dropout_mask"] = rd_masks[0]
             h, final_state = rnn.rnn_scan(
                 cfg.cell_type, layer["fwd"], h, mask,
-                compute_dtype=compute_dtype, **kw,
+                compute_dtype=compute_dtype, unroll=cfg.scan_unroll, **kw,
             )
         if cfg.residual and prev.shape[-1] == h.shape[-1]:
             h = h + prev

@@ -153,7 +153,9 @@ def encode(
                 wav = noise_ops.mix_fixed_snr(
                     wav, wav_len, noise_bank, cfg.noise.eval_snr_db
                 )
-        feats, feat_len = logmel_frontend(wav, wav_len, cfg.audio)
+        feats, feat_len = logmel_frontend(
+            wav, wav_len, cfg.audio, compute_dtype=cdt
+        )
         feats_tb = jnp.transpose(feats, (1, 0, 2))  # time-major
         audio_out_tb, _ = enc.encoder_apply(
             params["audio_encoder"], cfg.audio_encoder, feats_tb, feat_len,

@@ -243,6 +243,8 @@ def logmel_frontend(
     wav: jnp.ndarray,
     wav_lengths: jnp.ndarray,
     cfg: AudioFrontendConfig,
+    *,
+    compute_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Waveform batch -> feature batch.
 
@@ -256,7 +258,7 @@ def logmel_frontend(
     """
     power = stft_power(
         wav, cfg.frame_length, cfg.frame_step, cfg.fft_length,
-        use_matmul_dft=cfg.use_matmul_dft,
+        use_matmul_dft=cfg.use_matmul_dft, compute_dtype=compute_dtype,
     )
     feat_len = jnp.where(
         wav_lengths >= cfg.frame_length,

@@ -192,11 +192,43 @@ class Trainer:
         )
         return summary
 
+    def evaluate_noise_matrix(
+        self,
+        snrs=(None, 20.0, 10.0, 0.0, -5.0),
+        *,
+        use_beam: bool = True,
+        epoch: Optional[int] = None,
+    ) -> Dict[str, Dict[str, float]]:
+        """Per-SNR-condition evaluation matrix (reference workflow: one
+        error-rate file per noise condition, SURVEY.md §1 item 4).  ``None``
+        means clean."""
+        import dataclasses
+
+        results: Dict[str, Dict[str, float]] = {}
+        original = self.cfg
+        try:
+            for snr in snrs:
+                tag = "clean" if snr is None else f"{snr:g}dB"
+                self.cfg = dataclasses.replace(
+                    original,
+                    noise=dataclasses.replace(original.noise, eval_snr_db=snr),
+                )
+                results[tag] = self.evaluate(
+                    epoch=epoch, use_beam=use_beam
+                )
+                self.logger.log("eval_noise", condition=tag, **results[tag])
+        finally:
+            self.cfg = original
+        return results
+
     def _make_decode_fn(self, use_beam: bool):
         cfg = self.cfg
+        noise_bank = self.noise_bank
 
         def decode(params, batch):
-            out = seq2seq.encode(params, cfg, batch, train=False)
+            out = seq2seq.encode(
+                params, cfg, batch, train=False, noise_bank=noise_bank
+            )
             if use_beam and cfg.decode.beam_width > 1:
                 res = beam_search(
                     params["decoder"], cfg.decoder, out.memories,

@@ -118,6 +118,21 @@ def test_full_frontend_shapes_and_lengths():
     assert np.allclose(feat[2, fl[2]:], 0.0)
 
 
+def test_frontend_bf16_tolerance():
+    """bf16 DFT path stays within a tolerance band of fp32 (SURVEY §4.3);
+    normalized log-mel features are robust to matmul precision."""
+    cfg = AudioFrontendConfig(add_deltas=False)
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    lengths = jnp.asarray([16000, 16000], jnp.int32)
+    f32, _ = af.logmel_frontend(wav, lengths, cfg, compute_dtype=jnp.float32)
+    bf16, _ = af.logmel_frontend(wav, lengths, cfg, compute_dtype=jnp.bfloat16)
+    # features are CMVN-normalized; compare absolutely
+    err = np.abs(np.asarray(f32) - np.asarray(bf16))
+    assert np.percentile(err, 99) < 0.15, np.percentile(err, 99)
+    assert err.mean() < 0.05, err.mean()
+
+
 def test_frontend_padding_invariance():
     """Same audio padded to different lengths -> identical valid features
     (SURVEY §4.3 property test)."""

@@ -111,6 +111,26 @@ def test_overfit_av_align_with_au_loss_and_noise(tmp_path, data):
     assert summary["cer"] < 0.35, summary
 
 
+def test_evaluate_noise_matrix(tmp_path, data):
+    """Per-SNR evaluation matrix: conditions produce distinct decodes and a
+    result per condition (reference per-condition eval, SURVEY §1 item 4)."""
+    from avsr_tpu.data.synthetic import make_noise_bank
+
+    cfg = overfit_config("audio", str(tmp_path), epochs=1)
+    bank = make_noise_bank(num_rows=2, row_samples=40_000)
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runm"),
+                train_utterances=data, eval_utterances=data,
+                noise_bank=bank)
+    results = avsr.trainer.evaluate_noise_matrix(
+        (None, 0.0), use_beam=False
+    )
+    assert set(results) == {"clean", "0dB"}
+    for v in results.values():
+        # untrained model: only require well-formed, bounded error rates
+        # (hyp length <= max_decode_length => CER <= L_hyp/L_ref_min)
+        assert 0.0 <= v["cer"] <= 8.0
+
+
 def test_overfit_video(tmp_path, data):
     cfg = overfit_config("video", str(tmp_path), epochs=16)
     avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runv"),
