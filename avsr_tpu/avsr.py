@@ -237,6 +237,12 @@ class AVSR:
         """Decode the eval set; returns the ErrorRateAccumulator-style summary."""
         return self.trainer.evaluate(use_beam=use_beam)
 
+    def evaluate_noise_matrix(self, snrs=(None, 20.0, 10.0, 0.0, -5.0),
+                              use_beam: bool = True):
+        """Per-SNR-condition evaluation (reference workflow: error-rate
+        files per noise condition)."""
+        return self.trainer.evaluate_noise_matrix(snrs, use_beam=use_beam)
+
 
 def _maybe_join_video(audio_utts, video_records: Optional[str]):
     """Join audio and video record streams by uid (reference:

@@ -52,7 +52,10 @@ def _load_config(args) -> "ExperimentConfig":
     else:
         cfg = ExperimentConfig()
     if args.set:
-        cfg = cfg.override(_parse_overrides(args.set))
+        try:
+            cfg = cfg.override(_parse_overrides(args.set))
+        except KeyError as e:
+            raise SystemExit(f"unknown config key in --set: {e}")
     return cfg
 
 

@@ -172,13 +172,20 @@ def gru_step(
 
 
 def _project_inputs(params: Params, x_tbd: jnp.ndarray, compute_dtype) -> jnp.ndarray:
-    """Hoisted input projection: [T, B, D] @ [D, G*H] as one matmul."""
-    return jnp.einsum(
+    """Hoisted input projection: [T, B, D] @ [D, G*H] as one matmul.
+
+    Accumulates in fp32 on the MXU but STORES the result in compute_dtype:
+    this [T, B, 4H] tensor is the largest HBM resident of every scan (read
+    in forward, saved for backward) — bf16 storage halves that traffic.
+    The per-step gate sum upcasts back to fp32.
+    """
+    out = jnp.einsum(
         "tbd,dg->tbg",
         x_tbd.astype(compute_dtype),
         params["wx"].astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
+    return out.astype(compute_dtype)
 
 
 def lstm_scan(
@@ -227,7 +234,8 @@ def lstm_scan(
         m = m_t[:, None]
         h_out = m * h_new + (1.0 - m) * h
         c_out = m * c_new + (1.0 - m) * c
-        return (h_out, c_out), h_new * m
+        # outputs stored in compute_dtype: halves the [T, B, H] HBM traffic
+        return (h_out, c_out), (h_new * m).astype(compute_dtype)
 
     (hT, cT), ys = jax.lax.scan(
         body, (h0, c0), (xw, mask_tb), reverse=reverse, unroll=unroll
@@ -263,7 +271,7 @@ def gru_scan(
         )
         m = m_t[:, None]
         h_out = m * h_new + (1.0 - m) * h
-        return h_out, h_new * m
+        return h_out, (h_new * m).astype(compute_dtype)
 
     hT, ys = jax.lax.scan(body, h0, (xw, mask_tb), reverse=reverse, unroll=unroll)
     return ys, hT
@@ -275,6 +283,72 @@ def rnn_scan(cell_type: str, params: Params, *args, **kwargs):
     if cell_type == "gru":
         return gru_scan(params, *args, **kwargs)
     raise ValueError(f"unknown cell type {cell_type}")
+
+
+def fused_bilstm_scan(
+    params_fwd: Params,
+    params_bwd: Params,
+    x_tbd: jnp.ndarray,
+    mask_tb: Optional[jnp.ndarray],
+    *,
+    compute_dtype=jnp.bfloat16,
+    unroll: int = 1,
+    recurrent_dropout_masks: Optional[Tuple] = None,
+) -> Tuple[jnp.ndarray, Tuple]:
+    """Both BiLSTM directions in ONE lax.scan.
+
+    The backward direction's (pre-projected) input stream and mask are
+    time-flipped so a single forward scan computes both directions; the
+    per-step recurrent matmul becomes a G=2 batched matmul
+    (einsum 'gbh,ghk->gbk') that feeds the MXU twice the work per step.
+    Halves the number of sequential scan regions vs two separate scans.
+    Equivalence with bidirectional_scan is pinned in tests/test_rnn.py.
+    """
+    T, B, _ = x_tbd.shape
+    H = params_fwd["wh"].shape[0]
+    if mask_tb is None:
+        mask_tb = jnp.ones((T, B), jnp.float32)
+    mask_tb = mask_tb.astype(jnp.float32)
+
+    xw_f = _project_inputs(params_fwd, x_tbd, compute_dtype)      # [T, B, 4H]
+    xw_b = _project_inputs(params_bwd, x_tbd, compute_dtype)
+    xw = jnp.stack([xw_f, jnp.flip(xw_b, axis=0)], axis=1)         # [T, 2, B, 4H]
+    mask2 = jnp.stack([mask_tb, jnp.flip(mask_tb, axis=0)], axis=1)  # [T, 2, B]
+
+    wh = jnp.stack(
+        [params_fwd["wh"], params_bwd["wh"]], axis=0
+    ).astype(compute_dtype)                                        # [2, H, 4H]
+    b = jnp.stack([params_fwd["b"], params_bwd["b"]], axis=0)      # [2, 4H]
+
+    rd = None
+    if recurrent_dropout_masks is not None:
+        rd = jnp.stack(recurrent_dropout_masks, axis=0)            # [2, B, H]
+
+    def body(carry, inp):
+        h, c = carry                                               # [2, B, H]
+        xw_t, m_t = inp
+        h_in = h if rd is None else h * rd
+        gates = xw_t + jnp.einsum(
+            "gbh,ghk->gbk", h_in.astype(compute_dtype), wh,
+            preferred_element_type=jnp.float32,
+        ) + b[:, None, :]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        m = m_t[..., None]
+        h_out = m * h_new + (1.0 - m) * h
+        c_out = m * c_new + (1.0 - m) * c
+        return (h_out, c_out), (h_new * m).astype(compute_dtype)
+
+    h0 = jnp.zeros((2, B, H), jnp.float32)
+    c0 = jnp.zeros((2, B, H), jnp.float32)
+    (hT, cT), ys = jax.lax.scan(body, (h0, c0), (xw, mask2), unroll=unroll)
+    ys_f = ys[:, 0]                                                # [T, B, H]
+    ys_b = jnp.flip(ys[:, 1], axis=0)
+    out = jnp.concatenate([ys_f, ys_b], axis=-1)
+    state_f = (hT[0], cT[0])
+    state_b = (hT[1], cT[1])
+    return out, (state_f, state_b)
 
 
 def bidirectional_scan(
@@ -294,6 +368,14 @@ def bidirectional_scan(
     padding is on the right and padded steps carry state through, the
     backward pass correctly starts at each utterance's true last frame.
     """
+    # Plain LSTM: take the fused single-scan path (one sequential loop for
+    # both directions).  LN cells and GRUs use the two-scan fallback.
+    if cell_type == "lstm" and "ln_gamma" not in params_fwd:
+        return fused_bilstm_scan(
+            params_fwd, params_bwd, x_tbd, mask_tb,
+            compute_dtype=compute_dtype, unroll=unroll,
+            recurrent_dropout_masks=recurrent_dropout_masks,
+        )
     rd_f = rd_b = None
     if recurrent_dropout_masks is not None:
         rd_f, rd_b = recurrent_dropout_masks

@@ -1,0 +1,60 @@
+"""CLI smoke tests: write-records, show-config, train-on-records round trip."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from avsr_tpu import cli
+from avsr_tpu.data import tfrecord
+from avsr_tpu.data.grain_loader import TFRecordDataSource, load_utterances
+
+
+def test_write_records_and_read_back(tmp_path, capsys):
+    out = str(tmp_path / "train.tfrecord")
+    noise = str(tmp_path / "noise.tfrecord")
+    rc = cli.main(["write-records", "--synthetic", "6", "--out", out,
+                   "--noise-out", noise])
+    assert rc == 0
+    utts = tfrecord.read_dataset(out)
+    assert len(utts) == 6
+    assert utts[0].waveform is not None and utts[0].video is not None
+    bank = tfrecord.read_dataset(noise)
+    assert len(bank) == 4 and bank[0].waveform is not None
+
+
+def test_show_config_roundtrip(tmp_path, capsys):
+    rc = cli.main(["show-config", "--preset", "av_align_noisy",
+                   "--set", "train.learning_rate=0.0005",
+                   "--set", "decode.beam_width=4"])
+    assert rc == 0
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["architecture"] == "av_align"
+    assert cfg["noise"]["enabled"] is True
+    assert cfg["train"]["learning_rate"] == 0.0005
+    assert cfg["decode"]["beam_width"] == 4
+
+
+def test_show_config_rejects_unknown_key():
+    with pytest.raises(SystemExit):
+        cli.main(["show-config", "--set", "train.nonexistent=1"])
+    with pytest.raises(SystemExit):
+        cli.main(["show-config", "--preset", "audio_tcdtimit",
+                  "--set", "train.nonexistent=1"])
+
+
+def test_grain_source_random_access(tmp_path):
+    out = str(tmp_path / "d.tfrecord")
+    cli.main(["write-records", "--synthetic", "5", "--out", out])
+    src = TFRecordDataSource(out)
+    assert len(src) == 5
+    u3 = src[3]
+    assert u3.uid == "synth0003"
+    # out-of-order access works (random access, not streaming)
+    u0 = src[0]
+    assert u0.uid == "synth0000"
+    all_utts = load_utterances(out)
+    assert [u.uid for u in all_utts] == [f"synth{i:04d}" for i in range(5)]

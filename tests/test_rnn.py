@@ -108,23 +108,61 @@ def test_gru_scan_shapes_and_mask(rng):
 
 
 def test_bidirectional_concat(rng):
-    T, B, D, H = 5, 2, 3, 4
+    """bidirectional_scan (fused single-scan path) == two separate scans,
+    including masked right-padding and final states."""
+    T, B, D, H = 6, 3, 3, 4
     kf, kb = jax.random.split(jax.random.PRNGKey(4))
     pf = rnn.lstm_init(kf, D, H)
     pb = rnn.lstm_init(kb, D, H)
     x = rng.standard_normal((T, B, D)).astype(np.float32)
     mask = np.ones((T, B), np.float32)
-    ys, _ = rnn.bidirectional_scan(
+    mask[4:, 1] = 0.0  # one short sequence exercises the flipped-mask path
+    ys, (sf, sb) = rnn.bidirectional_scan(
         "lstm", pf, pb, jnp.asarray(x), jnp.asarray(mask),
         compute_dtype=jnp.float32,
     )
     assert ys.shape == (T, B, 2 * H)
-    ys_f, _ = rnn.lstm_scan(pf, jnp.asarray(x), jnp.asarray(mask), compute_dtype=jnp.float32)
-    ys_b, _ = rnn.lstm_scan(
+    ys_f, sf_ref = rnn.lstm_scan(pf, jnp.asarray(x), jnp.asarray(mask), compute_dtype=jnp.float32)
+    ys_b, sb_ref = rnn.lstm_scan(
         pb, jnp.asarray(x), jnp.asarray(mask), reverse=True, compute_dtype=jnp.float32
     )
-    np.testing.assert_allclose(np.asarray(ys)[:, :, :H], np.asarray(ys_f), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(ys)[:, :, H:], np.asarray(ys_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys)[:, :, :H], np.asarray(ys_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys)[:, :, H:], np.asarray(ys_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sf[0]), np.asarray(sf_ref[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sb[1]), np.asarray(sb_ref[1]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_bilstm_with_recurrent_dropout_masks(rng):
+    """Fused path honors per-direction recurrent dropout masks (matches the
+    two-scan fallback exactly)."""
+    T, B, D, H = 5, 2, 3, 4
+    kf, kb = jax.random.split(jax.random.PRNGKey(7))
+    pf = rnn.lstm_init(kf, D, H)
+    pb = rnn.lstm_init(kb, D, H)
+    x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+    mask = jnp.ones((T, B), jnp.float32)
+    rd = (
+        jnp.asarray((rng.random((B, H)) > 0.3).astype(np.float32)),
+        jnp.asarray((rng.random((B, H)) > 0.3).astype(np.float32)),
+    )
+    ys_fused, _ = rnn.fused_bilstm_scan(
+        pf, pb, x, mask, compute_dtype=jnp.float32,
+        recurrent_dropout_masks=rd,
+    )
+    ys_f, _ = rnn.lstm_scan(pf, x, mask, compute_dtype=jnp.float32,
+                            recurrent_dropout_mask=rd[0])
+    ys_b, _ = rnn.lstm_scan(pb, x, mask, reverse=True,
+                            compute_dtype=jnp.float32,
+                            recurrent_dropout_mask=rd[1])
+    H_ = ys_f.shape[-1]
+    np.testing.assert_allclose(np.asarray(ys_fused)[:, :, :H_],
+                               np.asarray(ys_f), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys_fused)[:, :, H_:],
+                               np.asarray(ys_b), rtol=1e-5, atol=1e-6)
 
 
 def test_layer_norm_lstm_runs_and_differs(rng):
