@@ -28,13 +28,12 @@ def timeit(raw_fn, *args, steps=8):
 
     fn = jax.jit(scalar_fn)
     _ = float(fn(*args))
-    times = []
-    for _ in range(steps):
-        t0 = time.perf_counter()
-        s = float(fn(*args))  # scalar host sync
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+    # chained protocol: N launches, one final scalar fetch — amortizes the
+    # ~27 ms relay round-trip (launches execute serially on device)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(steps)]
+    _ = float(outs[-1])
+    return (time.perf_counter() - t0) / steps
 
 
 def main():
@@ -116,14 +115,11 @@ def main():
     key = jax.random.PRNGKey(1)
     state, m = ts(state, batch, key)
     float(m["loss"])
-    times = []
-    for _ in range(8):
-        t0 = time.perf_counter()
+    t0 = time.perf_counter()
+    for _ in range(10):
         state, m = ts(state, batch, key)
-        float(m["loss"])
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    print(f"full train step:       {times[len(times)//2]*1000:7.1f} ms")
+    float(m["loss"])
+    print(f"full train step:       {(time.perf_counter()-t0)/10*1000:7.1f} ms")
 
 
 if __name__ == "__main__":
