@@ -347,6 +347,16 @@ def av_align_tcdtimit() -> ExperimentConfig:
     return ExperimentConfig(architecture="av_align", name="av_align_tcdtimit")
 
 
+def bimodal_tcdtimit() -> ExperimentConfig:
+    """Bimodal-decoder baseline: decoder attends to audio AND video memories
+    with two attention mechanisms (upstream decoder_bimodal.py)."""
+    return ExperimentConfig(
+        architecture="bimodal",
+        decoder=DecoderConfig(bimodal=True),
+        name="bimodal_tcdtimit",
+    )
+
+
 def av_align_noisy() -> ExperimentConfig:
     """Noise-robust AV training: babble/cafe at {-5,0,10,20} dB with AV-Align."""
     return ExperimentConfig(
@@ -372,6 +382,7 @@ PRESETS = {
     "audio_tcdtimit": audio_only_tcdtimit,
     "video_tcdtimit": video_only_tcdtimit,
     "av_align_tcdtimit": av_align_tcdtimit,
+    "bimodal_tcdtimit": bimodal_tcdtimit,
     "av_align_noisy": av_align_noisy,
     "lrs2_av_align": lrs2_full,
 }

@@ -94,6 +94,7 @@ def decoder_step(
     memories: Sequence[attn.AttentionMemory],
     *,
     compute_dtype=jnp.bfloat16,
+    dropout_masks: Optional[Sequence[jnp.ndarray]] = None,
 ) -> Tuple[DecoderState, jnp.ndarray]:
     """One decode step.
 
@@ -101,6 +102,8 @@ def decoder_step(
       tokens: [B] int32 previous output tokens.
       state: DecoderState.
       memories: preprocessed attention memories (1 = unimodal, 2 = bimodal).
+      dropout_masks: optional per-layer [B, H] variational dropout masks
+        (training only; one fixed mask per sequence, DropoutWrapper-style).
 
     Returns (new_state, logits [B, V] fp32).
     """
@@ -109,12 +112,14 @@ def decoder_step(
 
     new_lstm: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
     h = x
-    for cell_params, st in zip(params["cells"], state.lstm):
+    for li, (cell_params, st) in enumerate(zip(params["cells"], state.lstm)):
         (h_new, c_new), _ = rnn.lstm_step(
             cell_params, h, st, compute_dtype=compute_dtype
         )
         new_lstm.append((h_new, c_new))
         h = h_new
+        if dropout_masks is not None:
+            h = h * dropout_masks[li]
 
     new_contexts = []
     for att_params, mem in zip(params["atts"], memories):
@@ -145,6 +150,7 @@ def teacher_forced_logits(
     sampling_probability: float = 0.0,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
+    dropout: bool = False,
 ) -> jnp.ndarray:
     """Training-time decode over gold targets.
 
@@ -163,8 +169,24 @@ def teacher_forced_logits(
     # Inputs at step k are targets[:, k-1] (teacher forcing), GO at k=0.
     shifted = jnp.concatenate([go[:, None], targets[:, :-1]], axis=1)  # [B, K]
     use_sampling = sampling_probability > 0.0 and rng is not None
+    train_dropout = (
+        cfg.dropout_rate > 0.0 and rng is not None and dropout
+    )
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    dropout_masks = None
+    if train_dropout:
+        # Variational dropout: one fixed [B, H] mask per layer for the whole
+        # sequence (applied to each step's LSTM output).
+        keep = 1.0 - cfg.dropout_rate
+        masks = []
+        for h_units in cfg.hidden_units:
+            rng, sub = jax.random.split(rng)
+            masks.append(
+                jax.random.bernoulli(sub, keep, (B, h_units)).astype(jnp.float32)
+                / keep
+            )
+        dropout_masks = tuple(masks)
 
     def body(carry, inp):
         state, prev_sampled, key = carry
@@ -180,7 +202,8 @@ def teacher_forced_logits(
         else:
             tok = gold_in
         state, logits = decoder_step(
-            params, cfg, tok, state, memories, compute_dtype=compute_dtype
+            params, cfg, tok, state, memories, compute_dtype=compute_dtype,
+            dropout_masks=dropout_masks,
         )
         if use_sampling:
             key, k_samp = jax.random.split(key)

@@ -235,6 +235,7 @@ def forward(
         sampling_probability=cfg.decoder.sampling_probability if train else 0.0,
         rng=k_dec,
         compute_dtype=compute_dtype_of(cfg),
+        dropout=train,
     )
     return logits, out.aux
 
