@@ -120,20 +120,38 @@ def pallas_logmel(
 
     ROWS = TILE_T + 8  # sublane-aligned DMA row count
 
+    # Flatten (batch, tile) into ONE grid axis so the double-buffered DMA
+    # pipeline runs across the whole problem without refilling.
+    n_steps = B * num_tiles
+
     def kernel(wav_ref, cos_ref, sin_ref, mel_ref, out_ref, seg_ref, sem):
-        b = pl.program_id(0)
-        t = pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            wav_ref.at[b, pl.ds(t * TILE_T, ROWS), :],
-            seg_ref,
-            sem,
-        )
-        dma.start()
-        dma.wait()
+        step = pl.program_id(0)
+
+        def start_dma(slot, s):
+            b = s // num_tiles
+            t = s % num_tiles
+            return pltpu.make_async_copy(
+                wav_ref.at[b, pl.ds(t * TILE_T, ROWS), :],
+                seg_ref.at[slot],
+                sem.at[slot],
+            )
+
+        slot = step % 2
+        # Warm up the pipeline on the first step.
+        @pl.when(step == 0)
+        def _():
+            start_dma(0, 0).start()
+
+        # Prefetch the NEXT tile while computing this one.
+        @pl.when(step + 1 < n_steps)
+        def _():
+            start_dma((step + 1) % 2, step + 1).start()
+
+        start_dma(slot, step).wait()
         re = jnp.zeros((TILE_T, n_bins), jnp.float32)
         im = jnp.zeros((TILE_T, n_bins), jnp.float32)
         for j in range(3):  # static shifts: frame i spans hop rows i..i+2
-            hops = seg_ref[j : j + TILE_T, :]
+            hops = seg_ref[slot, j : j + TILE_T, :]
             re = re + jnp.dot(hops, cos_ref[j], preferred_element_type=jnp.float32)
             im = im + jnp.dot(hops, sin_ref[j], preferred_element_type=jnp.float32)
         power = re * re + im * im
@@ -142,27 +160,28 @@ def pallas_logmel(
 
     out = pl.pallas_call(
         kernel,
-        grid=(B, num_tiles),
+        grid=(n_steps,),
         in_specs=[
             # whole hop-view waveform stays in HBM/ANY (TPU lowering requires
             # ANY blocks be the full array); the kernel DMAs its rows
-            pl.BlockSpec((B, n_hops, hop_pad), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((B, n_hops, hop_pad), lambda s: (0, 0, 0),
                          memory_space=pltpu.ANY),
-            pl.BlockSpec((3, hop_pad, n_bins), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((3, hop_pad, n_bins), lambda s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, hop_pad, n_bins), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((3, hop_pad, n_bins), lambda s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_bins, num_mel_bins), lambda b, t: (0, 0),
+            pl.BlockSpec((n_bins, num_mel_bins), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, TILE_T, num_mel_bins), lambda b, t: (b, t, 0),
+            (1, TILE_T, num_mel_bins),
+            lambda s: (s // num_tiles, s % num_tiles, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, num_mel_bins), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((ROWS, hop_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, ROWS, hop_pad), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(wav2d, jnp.asarray(cos_b), jnp.asarray(sin_b), jnp.asarray(mel_m))
