@@ -143,13 +143,17 @@ def encode(
 
     if arch in ("audio", "av_align", "bimodal"):
         wav, wav_len = batch.audio, batch.audio_lengths
-        if noise_bank is not None and cfg.noise.enabled:
-            if train:
+        if noise_bank is not None:
+            if train and cfg.noise.enabled:
                 wav = noise_ops.sample_and_mix(
                     k_noise, wav, wav_len, noise_bank,
                     cfg.noise.snr_db, cfg.noise.clean_probability,
                 )
-            elif cfg.noise.eval_snr_db is not None:
+            elif not train and cfg.noise.eval_snr_db is not None:
+                # Fixed-SNR eval mixing applies whenever a condition is
+                # requested — independent of the TRAINING mixing switch
+                # (`enabled`), so clean-trained models can be evaluated
+                # under noise (reference per-condition eval workflow).
                 wav = noise_ops.mix_fixed_snr(
                     wav, wav_len, noise_bank, cfg.noise.eval_snr_db
                 )

@@ -71,6 +71,9 @@ class Trainer:
         )
         self.epoch = 0
         self._data_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        # jitted decode fns cached per (use_beam, cfg): evaluate() runs every
+        # epoch and a fresh jit each call would recompile (minutes on TPU)
+        self._decode_cache = {}
 
     # ------------------------------------------------------------------
 
@@ -224,6 +227,10 @@ class Trainer:
     def _make_decode_fn(self, use_beam: bool):
         cfg = self.cfg
         noise_bank = self.noise_bank
+        cache_key = (use_beam, cfg)
+        cached = self._decode_cache.get(cache_key)
+        if cached is not None:
+            return cached
 
         def decode(params, batch):
             out = seq2seq.encode(
@@ -245,4 +252,6 @@ class Trainer:
             )
             return ids
 
-        return jax.jit(decode)
+        fn = jax.jit(decode)
+        self._decode_cache[cache_key] = fn
+        return fn

