@@ -150,8 +150,6 @@ class DecoderConfig:
     sampling_probability: float = 0.0
     # Maximum label length (static decode horizon).
     max_label_length: int = 150
-    # Tie input embedding and output projection weights.
-    tie_embeddings: bool = False
     # Bimodal decoder: attend over audio and video memories with two
     # attention mechanisms (upstream:avsr/decoder_bimodal.py, §2.2 row 6).
     bimodal: bool = False
@@ -189,14 +187,16 @@ class DataConfig:
     video_train_records: Optional[str] = None
     video_eval_records: Optional[str] = None
     batch_size: int = 32
-    shuffle_buffer: int = 4096
     # Static-shape length bucketing: audio-frame bucket boundaries.  Each
     # batch is padded to its bucket's (T_audio, T_video, label_len) maxima.
     audio_bucket_boundaries: Tuple[int, ...] = (200, 400, 800, 1200, 1600)
     video_fps: float = 25.0
     max_audio_seconds: float = 16.0
     max_label_length: int = 150
-    num_workers: int = 0  # host-side parallel parse workers (0 = inline)
+    # host-side parallel parse workers for the grain-backed loader
+    # (data/grain_loader.py); the default loader is single-threaded + a
+    # prefetch thread, which saturates this model scale.
+    num_workers: int = 0
     seed: int = 0
 
 
@@ -236,7 +236,6 @@ class DecodeConfig:
     beam_width: int = 10
     length_penalty: float = 0.0  # Google-NMT length normalization alpha
     max_decode_length: int = 150
-    coverage_penalty: float = 0.0
 
 
 @dataclass(frozen=True)
