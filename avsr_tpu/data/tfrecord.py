@@ -165,9 +165,18 @@ def utterance_to_bytes(u: Utterance) -> bytes:
         vid = np.asarray(u.video, np.float32)
         T, H, W = vid.shape[0], vid.shape[1], vid.shape[2]
         context["video_shape"] = [T, H, W]
-        feature_lists["video"] = [
-            [vid[t].astype("<f4").tobytes()] for t in range(T)
-        ]
+        vmin, vmax = float(vid.min()), float(vid.max())
+        if 0.0 <= vmin and vmax <= 1.0:
+            # Lip-ROI crops in [0, 1]: store as uint8 (4x smaller records);
+            # decode rescales by 1/255.  "video_dtype" selects the codec.
+            context["video_dtype"] = [b"uint8"]
+            q = np.clip(np.round(vid * 255.0), 0, 255).astype(np.uint8)
+            feature_lists["video"] = [[q[t].tobytes()] for t in range(T)]
+        else:
+            context["video_dtype"] = [b"float32"]
+            feature_lists["video"] = [
+                [vid[t].astype("<f4").tobytes()] for t in range(T)
+            ]
     if u.au is not None:
         au = np.asarray(u.au, np.float32)
         context["au_dim"] = [int(au.shape[1])]
@@ -188,9 +197,17 @@ def utterance_from_bytes(data: bytes) -> Utterance:
             waveform = waveform[: int(context["waveform_len"][0])]
     if "video" in fls:
         T, H, W = (int(x) for x in context["video_shape"])
-        frames = [
-            np.frombuffer(r[0], "<f4").reshape(H, W) for r in fls["video"]
-        ]
+        vdtype = context.get("video_dtype", [b"float32"])[0]
+        if vdtype == b"uint8":
+            frames = [
+                np.frombuffer(r[0], np.uint8).reshape(H, W).astype(np.float32)
+                / 255.0
+                for r in fls["video"]
+            ]
+        else:
+            frames = [
+                np.frombuffer(r[0], "<f4").reshape(H, W) for r in fls["video"]
+            ]
         video = np.stack(frames)[..., None]
     if "au" in fls:
         au = np.stack([np.asarray(r, np.float32) for r in fls["au"]])

@@ -46,6 +46,24 @@ def test_utterance_roundtrip():
         np.testing.assert_allclose(v.au, u.au, rtol=1e-6)
 
 
+def test_video_uint8_quantized_storage():
+    """Video in [0,1] (the ingest contract) stores as uint8 — 4x smaller —
+    and round-trips within quantization error."""
+    rng = np.random.default_rng(4)
+    vid01 = rng.random((5, 8, 8, 1)).astype(np.float32)
+    u = Utterance(uid="q", transcript="a", video=vid01)
+    blob = tfrecord.utterance_to_bytes(u)
+    v = tfrecord.utterance_from_bytes(blob)
+    np.testing.assert_allclose(v.video, vid01, atol=1.0 / 255.0 + 1e-6)
+    # out-of-range video falls back to float32 exact storage
+    vid_neg = vid01 - 0.5
+    u2 = Utterance(uid="q2", transcript="a", video=vid_neg)
+    blob2 = tfrecord.utterance_to_bytes(u2)
+    v2 = tfrecord.utterance_from_bytes(blob2)
+    np.testing.assert_allclose(v2.video, vid_neg, rtol=1e-6)
+    assert len(blob) < len(blob2)  # quantized record is smaller
+
+
 def test_dataset_file_roundtrip(tmp_path):
     utts = generate(SyntheticSpec(num_utterances=4, seed=3))
     path = str(tmp_path / "d.tfrecord")
