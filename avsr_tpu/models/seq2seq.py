@@ -141,6 +141,17 @@ def encode(
     audio_mem_len = video_mem_len = None
     audio_out_tb = None  # time-major audio encoder output (for av_align)
 
+    # Rematerialization: recompute encoder activations in the backward pass
+    # instead of saving them (trades FLOPs for HBM; enables larger batches).
+    def enc_apply(p, ecfg, x, lengths, rng):
+        return enc.encoder_apply(
+            p, ecfg, x, lengths, train=train, dropout_rng=rng,
+            compute_dtype=cdt,
+        )
+
+    if cfg.train.remat:
+        enc_apply = jax.checkpoint(enc_apply, static_argnums=(1,))
+
     if arch in ("audio", "av_align", "bimodal"):
         wav, wav_len = batch.audio, batch.audio_lengths
         if noise_bank is not None:
@@ -161,9 +172,9 @@ def encode(
             wav, wav_len, cfg.audio, compute_dtype=cdt
         )
         feats_tb = jnp.transpose(feats, (1, 0, 2))  # time-major
-        audio_out_tb, _ = enc.encoder_apply(
+        audio_out_tb, _ = enc_apply(
             params["audio_encoder"], cfg.audio_encoder, feats_tb, feat_len,
-            train=train, dropout_rng=k_enc_a, compute_dtype=cdt,
+            k_enc_a,
         )
         audio_mem = jnp.transpose(audio_out_tb, (1, 0, 2))
         audio_mem_len = feat_len
@@ -175,9 +186,8 @@ def encode(
             batch.video_lengths, compute_dtype=cdt,
         )
         v_tb = jnp.transpose(v_emb, (1, 0, 2))
-        v_out_tb, _ = enc.encoder_apply(
-            params["video_encoder"], cfg.video_encoder, v_tb, v_len,
-            train=train, dropout_rng=k_enc_v, compute_dtype=cdt,
+        v_out_tb, _ = enc_apply(
+            params["video_encoder"], cfg.video_encoder, v_tb, v_len, k_enc_v,
         )
         video_mem = jnp.transpose(v_out_tb, (1, 0, 2))
         video_mem_len = v_len

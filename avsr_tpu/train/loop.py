@@ -185,10 +185,19 @@ class Trainer:
                 ref = self.units.decode(np_batch["targets"][j])
                 acc.update(ref, hyp, np_batch["uids"][j])
         tag = f"epoch{epoch}" if epoch is not None else "final"
+        if self.cfg.noise.eval_snr_db is not None:
+            tag += f"_{self.cfg.noise.eval_snr_db:g}dB"
         acc.write_predictions(
             os.path.join(self.run_dir, f"predictions_{tag}.txt")
         )
         summary = acc.summary()
+        # per-eval error-rate summary file (reference workflow: one error
+        # file per epoch/condition)
+        with open(os.path.join(self.run_dir, f"error_rates_{tag}.txt"), "w") as f:
+            f.write(
+                f"CER {summary['cer']:.6f}\nWER {summary['wer']:.6f}\n"
+                f"utterances {summary['num_utterances']}\n"
+            )
         self.logger.log("eval", epoch=epoch or -1, **summary)
         self.logger.info(
             f"eval {tag}: CER {summary['cer']:.4f} WER {summary['wer']:.4f}"

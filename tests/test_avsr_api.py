@@ -1,0 +1,77 @@
+"""Public AVSR API parity tests: reference-style flat-kwargs constructor,
+train/evaluate entry points, eval_step (SURVEY.md §3.5)."""
+
+import jax
+import numpy as np
+import pytest
+
+from avsr_tpu.avsr import AVSR
+from avsr_tpu.data.synthetic import SyntheticSpec, generate
+
+
+@pytest.fixture(scope="module")
+def data():
+    return generate(SyntheticSpec(num_utterances=8, min_chars=2, max_chars=3,
+                                  seed=9, alphabet="ab", roi=20,
+                                  char_duration_s=0.1))
+
+
+def test_flat_kwargs_constructor_and_train(tmp_path, data):
+    """The reference-style constructor surface: flat kwargs, train(),
+    evaluate()."""
+    avsr = AVSR(
+        unit="character",
+        architecture="audio",
+        encoder_units_per_layer=(24,),
+        decoder_units_per_layer=(24,),
+        embedding_size=8,
+        batch_size=4,
+        learning_rate=3e-3,
+        dropout_probability=0.0,
+        sampling_probability=0.0,
+        beam_width=2,
+        max_label_length=6,
+        compute_dtype="float32",
+        num_epochs=2,
+        run_dir=str(tmp_path / "r"),
+        train_utterances=data,
+        eval_utterances=data,
+    )
+    # bucket boundaries default to LRS2 scale; shrink via config surface
+    assert avsr.config.architecture == "audio"
+    assert avsr.config.decoder.hidden_units == (24,)
+    assert avsr.config.decode.beam_width == 2
+    metrics = avsr.train(num_epochs=1)
+    summary = avsr.evaluate(use_beam=True)
+    assert "cer" in summary and "wer" in summary
+
+
+def test_eval_step_loss(tmp_path, data):
+    from avsr_tpu.data.loader import to_model_batch
+    from avsr_tpu.train import step as step_lib
+
+    avsr = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "r2"),
+        train_utterances=data, eval_utterances=data,
+    )
+    es = step_lib.make_jitted_eval_step(avsr.config)
+    _, np_batch = next(iter(avsr.eval_loader.epoch(shuffle=False)))
+    m = es(avsr.trainer.state.params, to_model_batch(np_batch))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_unit_type_switch(tmp_path, data):
+    """Phoneme/viseme unit protocols build distinct vocabularies."""
+    for unit, tok in (("phoneme", "aa b sil"), ("viseme", "A B sil")):
+        avsr = AVSR(
+            unit=unit, architecture="audio",
+            encoder_units_per_layer=(16,), decoder_units_per_layer=(16,),
+            embedding_size=8, batch_size=4, max_label_length=8,
+            compute_dtype="float32", run_dir=str(tmp_path / unit),
+            train_utterances=data, eval_utterances=data,
+        )
+        assert avsr.unit_dict.unit_type == unit
+        assert avsr.unit_dict.decode(avsr.unit_dict.encode(tok)) == tok
