@@ -167,6 +167,154 @@ def gru_step(
 
 
 # ---------------------------------------------------------------------------
+# Custom-VJP LSTM scan core
+#
+# JAX's default scan backward saves every per-step linearization residual
+# (gate activations etc.) in fp32 — the dominant HBM traffic of the training
+# step.  This hand-written VJP saves only the bf16 (xw, h, c) step carries
+# and RECOMPUTES the gates in the backward scan (one extra [B,H]x[H,4H]
+# matmul per step — MXU-cheap, bandwidth-free).  Numerics are pinned against
+# jax.grad of the reference scan in tests/test_rnn.py.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _lstm_scan_core(wh, b, xw, mask, init, compute_dtype):
+    """(ys, hT, cT) for a masked fused-gate LSTM scan.
+
+    Args: wh [H,4H], b [4H], xw [T,B,4H] (pre-projected inputs, any float
+    dtype), mask [T,B] fp32, init (h0, c0) fp32.
+    """
+    (ys, hT, cT), _ = _lstm_scan_core_fwd_impl(wh, b, xw, mask, init,
+                                               compute_dtype, save=False)
+    return ys, hT, cT
+
+
+def _lstm_scan_core_fwd_impl(wh, b, xw, mask, init, compute_dtype, save):
+    h0, c0 = init
+    wh_c = wh.astype(compute_dtype)
+
+    def body(carry, inp):
+        h, c = carry
+        xw_t, m_t = inp
+        gates = (
+            xw_t.astype(jnp.float32)
+            + jnp.dot(h.astype(compute_dtype), wh_c,
+                      preferred_element_type=jnp.float32)
+            + b
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = m_t[:, None]
+        h_out = m * h_new + (1.0 - m) * h
+        c_out = m * c_new + (1.0 - m) * c
+        outs = (h_new * m).astype(compute_dtype)
+        if save:
+            # residuals: the carries ENTERING this step, in compute dtype
+            outs = (outs, h.astype(compute_dtype), c.astype(compute_dtype))
+        return (h_out, c_out), outs
+
+    (hT, cT), ys = jax.lax.scan(body, (h0, c0), (xw, mask))
+    if save:
+        ys, h_res, c_res = ys
+        return (ys, hT, cT), (h_res, c_res)
+    return (ys, hT, cT), None
+
+
+def _lstm_scan_core_fwd(wh, b, xw, mask, init, compute_dtype):
+    out, (h_res, c_res) = _lstm_scan_core_fwd_impl(
+        wh, b, xw, mask, init, compute_dtype, save=True
+    )
+    return out, (wh, b, xw, mask, h_res, c_res)
+
+
+def _lstm_scan_core_bwd(compute_dtype, res, cot):
+    wh, b, xw, mask, h_res, c_res = res
+    dys, dhT, dcT = cot
+    T, B, H = h_res.shape
+    wh_c = wh.astype(compute_dtype)
+    whT_c = wh.T.astype(compute_dtype)
+
+    def body(carry, inp):
+        dh_out, dc_out, dwh_acc, db_acc = carry
+        xw_t, m_t, h_prev_s, c_prev_s, dys_t = inp
+        h_prev = h_prev_s.astype(jnp.float32)
+        c_prev = c_prev_s.astype(jnp.float32)
+        m = m_t[:, None]
+        # recompute forward gates for this step
+        gates = (
+            xw_t.astype(jnp.float32)
+            + jnp.dot(h_prev_s, wh_c, preferred_element_type=jnp.float32)
+            + b
+        )
+        gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(gi), jax.nn.sigmoid(gf), jax.nn.sigmoid(go)
+        g = jnp.tanh(gg)
+        c_new = f * c_prev + i * g
+        tc = jnp.tanh(c_new)
+
+        dh_new = (dh_out + dys_t.astype(jnp.float32)) * m
+        dh_prev_direct = dh_out * (1.0 - m)
+        dc_new = dc_out * m
+        dc_prev_direct = dc_out * (1.0 - m)
+
+        do = dh_new * tc
+        dc_new = dc_new + dh_new * o * (1.0 - tc * tc)
+        df = dc_new * c_prev
+        di = dc_new * g
+        dg = dc_new * i
+        dc_prev = dc_new * f + dc_prev_direct
+
+        dgates = jnp.concatenate(
+            [
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=-1,
+        )
+        dgates_c = dgates.astype(compute_dtype)
+        dh_prev = (
+            jnp.dot(dgates_c, whT_c, preferred_element_type=jnp.float32)
+            + dh_prev_direct
+        )
+        dwh_acc = dwh_acc + jnp.dot(
+            h_prev_s.T, dgates_c, preferred_element_type=jnp.float32
+        )
+        db_acc = db_acc + jnp.sum(dgates, axis=0)
+        return (dh_prev, dc_prev, dwh_acc, db_acc), dgates_c
+
+    carry0 = (
+        dhT.astype(jnp.float32),
+        dcT.astype(jnp.float32),
+        jnp.zeros_like(wh, jnp.float32),
+        jnp.zeros_like(b, jnp.float32),
+    )
+    (dh0, dc0, dwh, db), dxw = jax.lax.scan(
+        body, carry0, (xw, mask, h_res, c_res, dys), reverse=True
+    )
+    return (
+        dwh.astype(wh.dtype),
+        db.astype(b.dtype),
+        dxw.astype(xw.dtype),
+        jnp.zeros_like(mask),
+        (dh0, dc0),
+    )
+
+
+_lstm_scan_core.defvjp(_lstm_scan_core_fwd, _lstm_scan_core_bwd)
+
+# Toggle for the custom-VJP path (plain LSTM, no LN, no recurrent dropout).
+USE_CUSTOM_VJP = True
+
+
+# ---------------------------------------------------------------------------
 # Scans
 # ---------------------------------------------------------------------------
 
@@ -222,6 +370,21 @@ def lstm_scan(
     if mask_tb is None:
         mask_tb = jnp.ones((T, B), jnp.float32)
     mask_tb = mask_tb.astype(jnp.float32)
+
+    if (
+        USE_CUSTOM_VJP
+        and "ln_gamma" not in params
+        and recurrent_dropout_mask is None
+        and unroll == 1
+    ):
+        xw_in = jnp.flip(xw, axis=0) if reverse else xw
+        m_in = jnp.flip(mask_tb, axis=0) if reverse else mask_tb
+        ys, hT, cT = _lstm_scan_core(
+            params["wh"], params["b"], xw_in, m_in, (h0, c0), compute_dtype
+        )
+        if reverse:
+            ys = jnp.flip(ys, axis=0)
+        return ys, (hT, cT)
 
     def body(carry, inp):
         h, c = carry
@@ -368,9 +531,14 @@ def bidirectional_scan(
     padding is on the right and padded steps carry state through, the
     backward pass correctly starts at each utterance's true last frame.
     """
-    # Plain LSTM: take the fused single-scan path (one sequential loop for
-    # both directions).  LN cells and GRUs use the two-scan fallback.
-    if cell_type == "lstm" and "ln_gamma" not in params_fwd:
+    # Plain LSTM without the custom VJP: take the fused single-scan path
+    # (one sequential loop for both directions).  With USE_CUSTOM_VJP the
+    # two-scan path wins — each direction runs through the hand-written
+    # backward (fused vs two-scan forward perf was a wash; see CLAUDE.md).
+    if (
+        cell_type == "lstm" and "ln_gamma" not in params_fwd
+        and not USE_CUSTOM_VJP
+    ):
         return fused_bilstm_scan(
             params_fwd, params_bwd, x_tbd, mask_tb,
             compute_dtype=compute_dtype, unroll=unroll,

@@ -178,6 +178,68 @@ def test_layer_norm_lstm_runs_and_differs(rng):
     assert not np.allclose(np.asarray(ys_ln), np.asarray(ys_pl))
 
 
+def test_custom_vjp_grads_match_autodiff(rng):
+    """The hand-written LSTM backward must match jax.grad of the reference
+    scan on values AND gradients, including masking and reverse."""
+    T, B, D, H = 7, 3, 4, 5
+    params = rnn.lstm_init(jax.random.PRNGKey(11), D, H)
+    x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+    mask = np.ones((T, B), np.float32)
+    mask[5:, 1] = 0.0
+    mask = jnp.asarray(mask)
+
+    def loss(p, use_cvjp, reverse=False):
+        old = rnn.USE_CUSTOM_VJP
+        rnn.USE_CUSTOM_VJP = use_cvjp
+        try:
+            ys, (hT, cT) = rnn.lstm_scan(
+                p, x, mask, reverse=reverse, compute_dtype=jnp.float32
+            )
+        finally:
+            rnn.USE_CUSTOM_VJP = old
+        # weight every output so all cotangent paths are exercised
+        w = jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) / ys.size
+        return jnp.sum(ys * w) + jnp.sum(hT * 0.7) + jnp.sum(cT * 1.3)
+
+    for reverse in (False, True):
+        v_ref = float(loss(params, False, reverse))
+        v_new = float(loss(params, True, reverse))
+        np.testing.assert_allclose(v_new, v_ref, rtol=1e-5)
+        g_ref = jax.grad(lambda p: loss(p, False, reverse))(params)
+        g_new = jax.grad(lambda p: loss(p, True, reverse))(params)
+        for k in g_ref:
+            np.testing.assert_allclose(
+                np.asarray(g_new[k]), np.asarray(g_ref[k]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{k} reverse={reverse}",
+            )
+
+
+def test_custom_vjp_initial_state_grads(rng):
+    T, B, D, H = 4, 2, 3, 4
+    params = rnn.lstm_init(jax.random.PRNGKey(12), D, H)
+    x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+    mask = jnp.ones((T, B), jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+
+    def loss(init, use_cvjp):
+        old = rnn.USE_CUSTOM_VJP
+        rnn.USE_CUSTOM_VJP = use_cvjp
+        try:
+            ys, (hT, cT) = rnn.lstm_scan(
+                params, x, mask, initial_state=init, compute_dtype=jnp.float32
+            )
+        finally:
+            rnn.USE_CUSTOM_VJP = old
+        return jnp.sum(ys) + jnp.sum(hT) + jnp.sum(cT * 2.0)
+
+    g_ref = jax.grad(lambda i: loss(i, False))((h0, c0))
+    g_new = jax.grad(lambda i: loss(i, True))((h0, c0))
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_jit_vs_nojit(rng):
     T, B, D, H = 6, 2, 4, 4
     params = rnn.lstm_init(jax.random.PRNGKey(5), D, H)
