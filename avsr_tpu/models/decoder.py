@@ -188,6 +188,11 @@ def teacher_forced_logits(
             )
         dropout_masks = tuple(masks)
 
+    # Remat the step body: its dominant backward residual is the per-step
+    # Bahdanau tanh tensor over the encoder memory ([B, S, A] x K steps);
+    # recomputing in the backward scan beats saving/restoring it from HBM
+    # (same pattern as the AV-Align fusion scan).
+    @jax.checkpoint
     def body(carry, inp):
         state, prev_sampled, key = carry
         gold_in, k = inp

@@ -107,6 +107,11 @@ def av_align_apply(
 
     ctx_proj = params.get("ctx_proj")
 
+    # Remat the scan body: its dominant linearization residual is the
+    # per-step Bahdanau tanh tensor ([B, T_v, A] — ~2 GB across a 6 s
+    # utterance at B=128); recomputing it in the backward scan trades a few
+    # cheap VPU ops for that entire HBM save/restore.
+    @jax.checkpoint
     def body(carry, inp):
         h, c, ctx = carry
         xw_t, m_t = inp
