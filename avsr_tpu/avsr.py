@@ -243,6 +243,36 @@ class AVSR:
         files per noise condition)."""
         return self.trainer.evaluate_noise_matrix(snrs, use_beam=use_beam)
 
+    def predict(self, utterances, use_beam: bool = True):
+        """Transcribe raw utterances -> list of (uid, hypothesis) pairs.
+
+        Convenience inference API: accepts in-memory Utterance objects (only
+        the modalities the architecture needs must be present) and runs the
+        full frontend + encoder + beam/greedy decode pipeline.
+        """
+        import numpy as np
+
+        from avsr_tpu.data.loader import BucketingLoader, to_model_batch
+
+        cfg = self.config
+        need_audio = cfg.architecture in ("audio", "av_align", "bimodal")
+        need_video = cfg.architecture in ("video", "av_align", "bimodal")
+        loader = BucketingLoader(
+            list(utterances), self.unit_dict, cfg.data,
+            require_audio=need_audio, require_video=need_video,
+            frame_step=cfg.audio.frame_step,
+            frame_length=cfg.audio.frame_length,
+        )
+        decode_fn = self.trainer._make_decode_fn(use_beam)
+        out = []
+        for _, np_batch in loader.epoch(shuffle=False):
+            ids = np.asarray(
+                decode_fn(self.trainer.state.params, to_model_batch(np_batch))
+            )
+            for j in range(np_batch["num_real"]):
+                out.append((np_batch["uids"][j], self.unit_dict.decode(ids[j])))
+        return out
+
 
 def _maybe_join_video(audio_utts, video_records: Optional[str]):
     """Join audio and video record streams by uid (reference:

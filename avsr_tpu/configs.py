@@ -55,6 +55,13 @@ class AudioFrontendConfig:
     # Compute the windowed rFFT as two MXU matmuls instead of XLA's FFT
     # (faster on TPU at speech frame sizes; numerically pinned in tests).
     use_matmul_dft: bool = True
+    # Opt-in SpecAugment on the post-frontend features (training only;
+    # extension beyond the reference — ops/specaugment.py).
+    spec_augment: bool = False
+    time_masks: int = 2
+    time_mask_width: int = 20
+    freq_masks: int = 2
+    freq_mask_width: int = 8
 
     @property
     def frame_length(self) -> int:

@@ -171,6 +171,17 @@ def encode(
         feats, feat_len = logmel_frontend(
             wav, wav_len, cfg.audio, compute_dtype=cdt
         )
+        if train and cfg.audio.spec_augment:
+            from avsr_tpu.ops.specaugment import spec_augment
+
+            k_noise, k_sa = jax.random.split(k_noise)
+            feats = spec_augment(
+                k_sa, feats, feat_len,
+                num_time_masks=cfg.audio.time_masks,
+                time_mask_width=cfg.audio.time_mask_width,
+                num_freq_masks=cfg.audio.freq_masks,
+                freq_mask_width=cfg.audio.freq_mask_width,
+            )
         feats_tb = jnp.transpose(feats, (1, 0, 2))  # time-major
         audio_out_tb, _ = enc_apply(
             params["audio_encoder"], cfg.audio_encoder, feats_tb, feat_len,
