@@ -63,6 +63,23 @@ def test_eval_step_loss(tmp_path, data):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_predict_api(tmp_path, data):
+    """AVSR.predict: raw utterances -> (uid, hypothesis) transcripts."""
+    avsr = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "rp"),
+        train_utterances=data, eval_utterances=data,
+    )
+    out = avsr.predict(data[:5], use_beam=False)
+    assert len(out) == 5
+    uids = {u.uid for u in data[:5]}
+    for uid, hyp in out:
+        assert uid in uids
+        assert isinstance(hyp, str)
+
+
 def test_unit_type_switch(tmp_path, data):
     """Phoneme/viseme unit protocols build distinct vocabularies."""
     for unit, tok in (("phoneme", "aa b sil"), ("viseme", "A B sil")):
