@@ -87,6 +87,17 @@ def test_decoder_dropout_only_in_training(rng):
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
 
 
+def test_model_jit_vs_nojit(rng):
+    """Full-model loss identical under jit and eager (SURVEY §4.3)."""
+    cfg = tiny_config("av_align")
+    params = seq2seq.model_init(jax.random.PRNGKey(5), cfg, VOCAB)
+    batch = tiny_batch("av_align", rng)
+    f = lambda p, b: seq2seq.loss_fn(p, cfg, b, train=False)[0]
+    eager = float(f(params, batch))
+    jitted = float(jax.jit(f)(params, batch))
+    np.testing.assert_allclose(jitted, eager, rtol=1e-5)
+
+
 @pytest.mark.parametrize("sched", ["constant", "exponential", "cosine",
                                    "warmup_cosine"])
 def test_schedules_produce_finite_lrs(sched):
