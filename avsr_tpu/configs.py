@@ -116,6 +116,9 @@ class EncoderConfig:
     recurrent_dropout_rate: float = 0.0
     # residual connections between stacked layers where dims match
     residual: bool = False
+    # highway wrapper between stacked layers where dims match:
+    # y = t*h + (1-t)*x with a learned transform gate t = sigmoid(x W + b)
+    highway: bool = False
     layer_norm: bool = False
     # lax.scan unroll factor (trades compile time/code size for fewer
     # sequential loop iterations on TPU)

@@ -24,23 +24,27 @@ def encoder_init(key, cfg: EncoderConfig, input_dim: int, dtype=jnp.float32) -> 
     d = input_dim
     keys = jax.random.split(key, len(cfg.hidden_units))
     for k, h in zip(keys, cfg.hidden_units):
+        layer = {}
         if cfg.bidirectional:
-            kf, kb = jax.random.split(k)
-            layers.append(
-                {
-                    "fwd": rnn.cell_init(cfg.cell_type, kf, d, h, dtype,
-                                         layer_norm=cfg.layer_norm),
-                    "bwd": rnn.cell_init(cfg.cell_type, kb, d, h, dtype,
-                                         layer_norm=cfg.layer_norm),
-                }
-            )
-            d = 2 * h
+            kf, kb, kh = jax.random.split(k, 3)
+            layer["fwd"] = rnn.cell_init(cfg.cell_type, kf, d, h, dtype,
+                                         layer_norm=cfg.layer_norm)
+            layer["bwd"] = rnn.cell_init(cfg.cell_type, kb, d, h, dtype,
+                                         layer_norm=cfg.layer_norm)
+            d_out = 2 * h
         else:
-            layers.append(
-                {"fwd": rnn.cell_init(cfg.cell_type, k, d, h, dtype,
-                                      layer_norm=cfg.layer_norm)}
-            )
-            d = h
+            k, kh = jax.random.split(k)
+            layer["fwd"] = rnn.cell_init(cfg.cell_type, k, d, h, dtype,
+                                         layer_norm=cfg.layer_norm)
+            d_out = h
+        if cfg.highway and d == d_out:
+            # transform-gate bias init -1: start close to carry-through
+            from avsr_tpu.utils.params import glorot_uniform
+
+            layer["hw_w"] = glorot_uniform(kh, (d, d_out), dtype)
+            layer["hw_b"] = jnp.full((d_out,), -1.0, dtype)
+        layers.append(layer)
+        d = d_out
     return {"layers": layers}
 
 
@@ -106,6 +110,15 @@ def encoder_apply(
             )
         if cfg.residual and prev.shape[-1] == h.shape[-1]:
             h = h + prev
+        elif "hw_w" in layer:  # highway wrapper (dims matched at init)
+            t = jax.nn.sigmoid(
+                jnp.einsum(
+                    "tbd,dk->tbk", prev.astype(compute_dtype),
+                    layer["hw_w"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                ) + layer["hw_b"]
+            )
+            h = t * h + (1.0 - t) * prev
         if train and cfg.dropout_rate > 0.0 and dropout_rng is not None:
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = 1.0 - cfg.dropout_rate
