@@ -165,7 +165,7 @@ def pallas_logmel(
             # whole hop-view waveform stays in HBM/ANY (TPU lowering requires
             # ANY blocks be the full array); the kernel DMAs its rows
             pl.BlockSpec((B, n_hops, hop_pad), lambda s: (0, 0, 0),
-                         memory_space=pltpu.ANY),
+                         memory_space=pl.ANY),
             pl.BlockSpec((3, hop_pad, n_bins), lambda s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, hop_pad, n_bins), lambda s: (0, 0, 0),
