@@ -23,13 +23,13 @@ otherwise.  Numerics pinned against the XLA path in
 tests/test_pallas_logmel.py (interpret mode on CPU; compiled on TPU,
 maxerr 2.4e-3 on v5e).
 
-STATUS (v5e, B=32 x 6 s): this kernel 27.8 ms vs 2.4 ms for the XLA
-matmul-DFT path — the serial start/wait DMA per grid step leaves the MXU
-idle, while XLA pipelines its own copies automatically.  The XLA path
-(ops/audio_features.stft_power) is therefore the production frontend; this
-kernel is kept as the correctness-pinned Pallas formulation.  To make it
-competitive: double-buffer the hop-row DMAs (pallas_guide double-buffering
-pattern) and fold the batch dimension into the tile grid.
+STATUS (v5e, B=32 x 6 s): this kernel 25.0 ms (with the double-buffered
+DMA pipeline below; 27.8 ms without) vs 2.4 ms for the XLA matmul-DFT
+path — per-grid-step overhead on this platform dominates regardless of
+DMA overlap.  The XLA path (ops/audio_features.stft_power) is therefore
+the production frontend; this kernel is kept as the correctness-pinned
+Pallas formulation.  Next idea if revisited: process several tiles per
+grid step to amortize the per-step cost.
 """
 
 from __future__ import annotations
