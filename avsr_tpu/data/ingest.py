@@ -174,9 +174,15 @@ def build_utterance(
 def write_corpus(
     manifest: List[Dict[str, str]],
     out_path: str,
+    video_codec: str = "uint8",
     **kw,
 ) -> int:
-    """Manifest rows {uid, transcript, wav?, video?, au_csv?} -> TFRecord file."""
+    """Manifest rows {uid, transcript, wav?, video?, au_csv?} -> TFRecord file.
+
+    Lip-ROI crops produced by :func:`extract_lip_rois` are grayscale in
+    [0, 1], so the default codec quantizes them to uint8 (4x smaller
+    records); pass ``video_codec="float32"`` for bit-exact storage.
+    """
     utts = [
         build_utterance(
             row["uid"], row["transcript"],
@@ -184,5 +190,5 @@ def write_corpus(
         )
         for row in manifest
     ]
-    write_dataset(utts, out_path)
+    write_dataset(utts, out_path, video_codec=video_codec)
     return len(utts)

@@ -147,7 +147,18 @@ class TFRecordWriter:
 _WAVE_CHUNK = 1024  # samples per FloatList row (keeps rows small)
 
 
-def utterance_to_bytes(u: Utterance) -> bytes:
+def utterance_to_bytes(u: Utterance, video_codec: str = "float32") -> bytes:
+    """Serialize one utterance.
+
+    ``video_codec`` selects the on-disk video representation explicitly (no
+    value-range inference — lossy storage must be opted into by the writer):
+      * "float32" (default): bit-exact little-endian float storage.
+      * "uint8": lossy 8-bit quantization for lip-ROI crops in [0, 1]
+        (4x smaller records; decode rescales by 1/255).  Raises if any
+        video value falls outside [0, 1].
+    The codec used is recorded in the record's "video_dtype" context field,
+    so readers decode either form transparently.
+    """
     context = {
         "uid": [u.uid.encode()],
         "transcript": [u.transcript.encode()],
@@ -165,18 +176,23 @@ def utterance_to_bytes(u: Utterance) -> bytes:
         vid = np.asarray(u.video, np.float32)
         T, H, W = vid.shape[0], vid.shape[1], vid.shape[2]
         context["video_shape"] = [T, H, W]
-        vmin, vmax = float(vid.min()), float(vid.max())
-        if 0.0 <= vmin and vmax <= 1.0:
-            # Lip-ROI crops in [0, 1]: store as uint8 (4x smaller records);
-            # decode rescales by 1/255.  "video_dtype" selects the codec.
+        if video_codec == "uint8":
+            vmin, vmax = float(vid.min()), float(vid.max())
+            if vmin < 0.0 or vmax > 1.0:
+                raise ValueError(
+                    f"video_codec='uint8' requires values in [0, 1]; got "
+                    f"[{vmin:g}, {vmax:g}] for uid={u.uid!r}"
+                )
             context["video_dtype"] = [b"uint8"]
             q = np.clip(np.round(vid * 255.0), 0, 255).astype(np.uint8)
             feature_lists["video"] = [[q[t].tobytes()] for t in range(T)]
-        else:
+        elif video_codec == "float32":
             context["video_dtype"] = [b"float32"]
             feature_lists["video"] = [
                 [vid[t].astype("<f4").tobytes()] for t in range(T)
             ]
+        else:
+            raise ValueError(f"unknown video_codec: {video_codec!r}")
     if u.au is not None:
         au = np.asarray(u.au, np.float32)
         context["au_dim"] = [int(au.shape[1])]
@@ -215,10 +231,12 @@ def utterance_from_bytes(data: bytes) -> Utterance:
                      video=video, au=au)
 
 
-def write_dataset(utterances: List[Utterance], path: str) -> None:
+def write_dataset(
+    utterances: List[Utterance], path: str, video_codec: str = "float32"
+) -> None:
     with TFRecordWriter(path) as w:
         for u in utterances:
-            w.write(utterance_to_bytes(u))
+            w.write(utterance_to_bytes(u, video_codec=video_codec))
 
 
 def read_dataset(path: str) -> List[Utterance]:

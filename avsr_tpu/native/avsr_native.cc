@@ -78,7 +78,11 @@ int64_t avsr_tfrecord_index(const uint8_t* buf, uint64_t size,
     uint32_t len_crc;
     std::memcpy(&len_crc, buf + pos + 8, 4);
     if (avsr_masked_crc32c(buf + pos, 8) != len_crc) return -2;
-    if (pos + 12 + len + 4 > size) return -1;
+    // Overflow-safe bounds check: a hostile/corrupt `len` near 2^64 would
+    // wrap `pos + 12 + len + 4` past `size`, so compare against the
+    // remaining bytes instead (pos + 16 <= size is guaranteed non-negative
+    // only after its own check).
+    if (pos + 16 > size || len > size - pos - 16) return -1;
     if (verify) {
       uint32_t data_crc;
       std::memcpy(&data_crc, buf + pos + 12 + len, 4);

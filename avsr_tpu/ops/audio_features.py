@@ -286,7 +286,19 @@ def logmel_frontend(
         feat = jnp.log(mel + cfg.log_floor)
 
     if cfg.add_deltas:
-        d1 = delta_features(feat, cfg.delta_window)
+        # Edge-replicate the last valid frame into the padded tail before the
+        # delta windows run: padded frames hold log(log_floor) (~ -13.8) and
+        # would otherwise contaminate the deltas of the last valid frames,
+        # making tail features depend on the bucket's pad length.  With
+        # clamped indices the delta window sees the valid region only (the
+        # padded positions themselves are re-zeroed below regardless).
+        T_frames = feat.shape[1]
+        t_idx = jnp.minimum(
+            jnp.arange(T_frames)[None, :],
+            jnp.maximum(feat_len[:, None] - 1, 0),
+        )
+        feat_edge = jnp.take_along_axis(feat, t_idx[..., None], axis=1)
+        d1 = delta_features(feat_edge, cfg.delta_window)
         d2 = delta_features(d1, cfg.delta_window)
         feat = jnp.concatenate([feat, d1, d2], axis=-1)
 

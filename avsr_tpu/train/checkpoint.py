@@ -4,8 +4,10 @@ The reference's entire fault-tolerance story is ``tf.train.Saver`` per-epoch
 saves plus a ``try_restore_latest_checkpoint`` flag (SURVEY.md §5.3-5.4).
 This module supplies the equivalent with orbax CheckpointManager: atomic
 writes, keep-N retention, save per epoch and per K steps, and bit-exact
-resume of params + optimizer state + step + data-iterator position
-(tested in tests/test_train_loop.py).
+resume of params + optimizer state + step (plus side metadata such as the
+epoch counter; tested in tests/test_train_loop.py).  Resume granularity is
+per-save, matching the reference: a mid-epoch restart replays the epoch from
+its start — the data-iterator position is NOT checkpointed.
 """
 
 from __future__ import annotations
@@ -53,7 +55,12 @@ class CheckpointManager:
     def restore(
         self, state_template: TrainState, step: Optional[int] = None
     ) -> Tuple[TrainState, Dict[str, Any], int]:
-        """Restore into the template's structure.  Returns (state, extra, step)."""
+        """Restore into the template's structure.  Returns (state, extra, step).
+
+        ``extra`` is the side-metadata dict written by ``save(extra=...)``
+        (stored in ``extra_{step}.json`` next to the orbax payload); {} if the
+        checkpoint was saved without it.
+        """
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
@@ -70,7 +77,14 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(restored["step"]),
         )
-        return state, restored.get("extra", {}), step
+        extra: Dict[str, Any] = {}
+        side = os.path.join(self.directory, f"extra_{step}.json")
+        if os.path.exists(side):
+            import json
+
+            with open(side) as f:
+                extra = json.load(f)
+        return state, extra, step
 
     def close(self) -> None:
         self._mgr.close()

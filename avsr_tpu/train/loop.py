@@ -85,12 +85,6 @@ class Trainer:
             return False
         self.state, extra, step = self.ckpt.restore(self.state)
         self.epoch = int(extra.get("epoch", 0)) if extra else 0
-        # Recover epoch from side metadata if present.
-        import json
-        side = os.path.join(self.ckpt.directory, f"extra_{step}.json")
-        if os.path.exists(side):
-            with open(side) as f:
-                self.epoch = int(json.load(f).get("epoch", self.epoch))
         self.logger.info(f"restored checkpoint at step {step}, epoch {self.epoch}")
         return True
 

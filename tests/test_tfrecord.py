@@ -47,21 +47,26 @@ def test_utterance_roundtrip():
 
 
 def test_video_uint8_quantized_storage():
-    """Video in [0,1] (the ingest contract) stores as uint8 — 4x smaller —
-    and round-trips within quantization error."""
+    """video_codec='uint8' is an explicit writer opt-in: stores [0,1] crops
+    4x smaller, round-trips within quantization error, and rejects
+    out-of-range values; the default codec is bit-exact float32."""
     rng = np.random.default_rng(4)
     vid01 = rng.random((5, 8, 8, 1)).astype(np.float32)
     u = Utterance(uid="q", transcript="a", video=vid01)
-    blob = tfrecord.utterance_to_bytes(u)
+    blob = tfrecord.utterance_to_bytes(u, video_codec="uint8")
     v = tfrecord.utterance_from_bytes(blob)
     np.testing.assert_allclose(v.video, vid01, atol=1.0 / 255.0 + 1e-6)
-    # out-of-range video falls back to float32 exact storage
-    vid_neg = vid01 - 0.5
-    u2 = Utterance(uid="q2", transcript="a", video=vid_neg)
-    blob2 = tfrecord.utterance_to_bytes(u2)
-    v2 = tfrecord.utterance_from_bytes(blob2)
-    np.testing.assert_allclose(v2.video, vid_neg, rtol=1e-6)
-    assert len(blob) < len(blob2)  # quantized record is smaller
+    # the default codec stores the same video bit-exactly (and larger)
+    blob_f32 = tfrecord.utterance_to_bytes(u)
+    v_f32 = tfrecord.utterance_from_bytes(blob_f32)
+    np.testing.assert_array_equal(v_f32.video, vid01)
+    assert len(blob) < len(blob_f32)
+    # uint8 refuses out-of-range video instead of silently switching codecs
+    u2 = Utterance(uid="q2", transcript="a", video=vid01 - 0.5)
+    with pytest.raises(ValueError):
+        tfrecord.utterance_to_bytes(u2, video_codec="uint8")
+    v2 = tfrecord.utterance_from_bytes(tfrecord.utterance_to_bytes(u2))
+    np.testing.assert_array_equal(v2.video, vid01 - 0.5)
 
 
 def test_dataset_file_roundtrip(tmp_path):
