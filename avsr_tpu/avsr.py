@@ -75,7 +75,8 @@ class AVSR:
         beam_width: int = 10,
         max_label_length: int = 150,
         noise_snr_db: Optional[Sequence[float]] = None,
-        noise_bank_record: Optional[str] = None,
+        # one record path (anonymous type) or {type: path} (babble/cafe)
+        noise_bank_record: "Optional[str | Dict[str, str]]" = None,
         au_loss_weight: float = 0.0,
         compute_dtype: str = "bfloat16",
         run_dir: Optional[str] = None,
@@ -84,7 +85,8 @@ class AVSR:
         # in-memory data injection (tests / synthetic experiments)
         train_utterances=None,
         eval_utterances=None,
-        noise_bank: Optional[np.ndarray] = None,
+        # [N, L] array (anonymous type) or {type: [Ni, Li]} typed bank
+        noise_bank: "Optional[np.ndarray | Dict[str, np.ndarray]]" = None,
         mesh=None,
     ):
         if config is None:
@@ -183,11 +185,7 @@ class AVSR:
         self.eval_loader = mk(eval_utts) if eval_utts is not None else None
 
         if noise_bank is None and noise_bank_record:
-            bank_utts = tfrecord.read_dataset(noise_bank_record)
-            S = max(len(u.waveform) for u in bank_utts)
-            noise_bank = np.stack(
-                [np.resize(u.waveform, S) for u in bank_utts]
-            )
+            noise_bank = _load_noise_bank(noise_bank_record)
 
         self.trainer = Trainer(
             config, self.unit_dict, self.train_loader, self.eval_loader,
@@ -238,10 +236,12 @@ class AVSR:
         return self.trainer.evaluate(use_beam=use_beam)
 
     def evaluate_noise_matrix(self, snrs=(None, 20.0, 10.0, 0.0, -5.0),
-                              use_beam: bool = True):
-        """Per-SNR-condition evaluation (reference workflow: error-rate
-        files per noise condition)."""
-        return self.trainer.evaluate_noise_matrix(snrs, use_beam=use_beam)
+                              noise_types=None, use_beam: bool = True):
+        """Per-(noise type x SNR)-condition evaluation (reference workflow:
+        error-rate files per condition, e.g. babble_0dB / cafe_0dB)."""
+        return self.trainer.evaluate_noise_matrix(
+            snrs, noise_types=noise_types, use_beam=use_beam
+        )
 
     def predict(self, utterances, use_beam: bool = True):
         """Transcribe raw utterances -> list of (uid, hypothesis) pairs.
@@ -272,6 +272,31 @@ class AVSR:
             for j in range(np_batch["num_real"]):
                 out.append((np_batch["uids"][j], self.unit_dict.decode(ids[j])))
         return out
+
+
+def _load_noise_bank(record: "str | Dict[str, str]"):
+    """Noise-bank records -> per-type waveform arrays.
+
+    ``record`` is one TFRecord path (single anonymous type) or a
+    {type_name: path} mapping (babble/cafe banks, SURVEY §3.3).  Each type's
+    waveforms are CONCATENATED into one long [1, L] row — noise segments are
+    sampled by offset into it on device — rather than cyclically tiled to a
+    common length (np.resize would introduce periodic noise artifacts and a
+    large [N, max_len] array)."""
+
+    def one(path: str) -> np.ndarray:
+        rows = [
+            np.asarray(u.waveform, np.float32)
+            for u in tfrecord.read_dataset(path)
+            if u.waveform is not None
+        ]
+        if not rows:
+            raise ValueError(f"noise bank record {path!r} has no waveforms")
+        return np.concatenate(rows)[None, :]
+
+    if isinstance(record, dict):
+        return {name: one(path) for name, path in record.items()}
+    return one(record)
 
 
 def _maybe_join_video(audio_utts, video_records: Optional[str]):

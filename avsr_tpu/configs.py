@@ -175,13 +175,19 @@ class NoiseConfig:
     """
 
     enabled: bool = False
+    # Named noise types to draw from during training.  Applies when the
+    # noise bank is TYPED (built from a {type: waveforms} mapping): the bank
+    # is filtered to these names (unknown names fail loudly).  A plain-array
+    # bank has one anonymous type and ignores this.
     noise_types: Tuple[str, ...] = ("babble", "cafe")
     # Training SNRs sampled uniformly from this set; "clean" is encoded as
     # +inf handled via probability below.
     snr_db: Tuple[float, ...] = (-5.0, 0.0, 10.0, 20.0)
     # Probability an example is left clean during training.
     clean_probability: float = 0.2
-    # Fixed SNR for deterministic evaluation (None = clean eval).
+    # Fixed (type x SNR) condition for deterministic evaluation
+    # (eval_snr_db None = clean eval; eval_noise_type is used only when the
+    # bank has more than one type).
     eval_snr_db: Optional[float] = None
     eval_noise_type: str = "babble"
 

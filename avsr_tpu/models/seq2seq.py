@@ -161,12 +161,17 @@ def encode(
                     cfg.noise.snr_db, cfg.noise.clean_probability,
                 )
             elif not train and cfg.noise.eval_snr_db is not None:
-                # Fixed-SNR eval mixing applies whenever a condition is
-                # requested — independent of the TRAINING mixing switch
+                # Fixed-(type x SNR) eval mixing applies whenever a condition
+                # is requested — independent of the TRAINING mixing switch
                 # (`enabled`), so clean-trained models can be evaluated
                 # under noise (reference per-condition eval workflow).
+                bank = noise_ops.NoiseBank.create(noise_bank)
+                ntype = (
+                    cfg.noise.eval_noise_type if bank.num_types > 1 else None
+                )
                 wav = noise_ops.mix_fixed_snr(
-                    wav, wav_len, noise_bank, cfg.noise.eval_snr_db
+                    wav, wav_len, bank, cfg.noise.eval_snr_db,
+                    noise_type=ntype,
                 )
         feats, feat_len = logmel_frontend(
             wav, wav_len, cfg.audio, compute_dtype=cdt

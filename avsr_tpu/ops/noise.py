@@ -16,10 +16,63 @@ the achieved SNR of mixed synthetic tones (SURVEY §4.1).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseBank:
+    """Named noise-type bank: one [Ni, Li] waveform array per noise type.
+
+    The reference's noise axis is (type x SNR) with type in {babble, cafe}
+    (SURVEY.md §1 item 4, §3.3): separate noisy dataset copies existed per
+    condition.  Here the types live side by side on device and training
+    samples (type, row, offset, SNR) per example; evaluation pins a type.
+
+    ``names`` is static Python metadata (resolved at trace time); ``banks``
+    are device arrays captured as jit constants.
+    """
+
+    names: Tuple[str, ...]
+    banks: Tuple[jnp.ndarray, ...]
+
+    def __post_init__(self):
+        if len(self.names) != len(self.banks) or not self.names:
+            raise ValueError("NoiseBank needs one array per type name")
+
+    @classmethod
+    def create(
+        cls,
+        banks: Union["NoiseBank", jnp.ndarray, np.ndarray, Dict[str, np.ndarray]],
+        default_name: str = "noise",
+    ) -> "NoiseBank":
+        """Coerce a raw [N, L] array or a {type: [Ni, Li]} dict."""
+        if isinstance(banks, cls):
+            return banks
+        if isinstance(banks, dict):
+            names = tuple(banks.keys())
+            arrays = tuple(jnp.atleast_2d(jnp.asarray(banks[n])) for n in names)
+            return cls(names, arrays)
+        return cls((default_name,), (jnp.atleast_2d(jnp.asarray(banks)),))
+
+    @property
+    def num_types(self) -> int:
+        return len(self.names)
+
+    def type_index(self, name: Optional[str]) -> int:
+        """Resolve a type name to its bank index (None -> 0)."""
+        if name is None:
+            return 0
+        try:
+            return self.names.index(name)
+        except ValueError:
+            raise KeyError(
+                f"unknown noise type {name!r}; bank has {list(self.names)}"
+            ) from None
 
 
 def _masked_power(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -67,30 +120,50 @@ def mix_at_snr(
     return wav + scale[:, None] * noise * mask
 
 
+def _sample_type_segments(
+    rng: jax.Array, bank: NoiseBank, batch: int, length: int
+) -> jnp.ndarray:
+    """Sample one noise segment per example, drawing (type, row, offset)
+    uniformly.  Returns [B, length]."""
+    k_type, k_rest = jax.random.split(rng)
+    segs = []
+    for arr in bank.banks:
+        N, L = arr.shape
+        if L < length:
+            raise ValueError(
+                f"noise bank rows ({L}) shorter than waveform ({length})"
+            )
+        k_rest, k_idx, k_off = jax.random.split(k_rest, 3)
+        idx = jax.random.randint(k_idx, (batch,), 0, N)
+        offsets = jax.random.randint(k_off, (batch,), 0, L - length + 1)
+        segs.append(_gather_segments(arr, idx, offsets, length))
+    if bank.num_types == 1:
+        return segs[0]
+    type_idx = jax.random.randint(k_type, (batch,), 0, bank.num_types)
+    stacked = jnp.stack(segs)  # [T, B, length]
+    return jnp.take_along_axis(stacked, type_idx[None, :, None], axis=0)[0]
+
+
 def sample_and_mix(
     rng: jax.Array,
     wav: jnp.ndarray,
     wav_lengths: jnp.ndarray,
-    noise_bank: jnp.ndarray,
+    noise_bank: Union[NoiseBank, jnp.ndarray],
     snr_choices: Tuple[float, ...],
     clean_probability: float = 0.0,
 ) -> jnp.ndarray:
-    """Randomized training-time mixing: sample (noise row, offset, SNR) per
-    example; leave an example clean with `clean_probability`.
+    """Randomized training-time mixing: sample (noise type, row, offset, SNR)
+    per example; leave an example clean with `clean_probability`.
 
-    noise_bank: [N, L] with L >= S.
+    noise_bank: NoiseBank, or a plain [N, L] array (single anonymous type).
     """
+    bank = NoiseBank.create(noise_bank)
     B, S = wav.shape
-    N, L = noise_bank.shape
-    if L < S:
-        raise ValueError(f"noise bank rows ({L}) shorter than waveform ({S})")
-    k_idx, k_off, k_snr, k_clean = jax.random.split(rng, 4)
-    idx = jax.random.randint(k_idx, (B,), 0, N)
-    offsets = jax.random.randint(k_off, (B,), 0, L - S + 1)
+    k_seg, k_snr, k_clean = jax.random.split(rng, 3)
     snrs = jnp.asarray(snr_choices, jnp.float32)[
         jax.random.randint(k_snr, (B,), 0, len(snr_choices))
     ]
-    noise = _gather_segments(noise_bank, idx, offsets, S)
+    noise = _sample_type_segments(k_seg, bank, B, S)
     noisy = mix_at_snr(wav, wav_lengths, noise, snrs)
     if clean_probability > 0.0:
         keep_clean = jax.random.bernoulli(k_clean, clean_probability, (B,))
@@ -101,23 +174,27 @@ def sample_and_mix(
 def mix_fixed_snr(
     wav: jnp.ndarray,
     wav_lengths: jnp.ndarray,
-    noise_bank: jnp.ndarray,
+    noise_bank: Union[NoiseBank, jnp.ndarray],
     snr_db: float,
     *,
+    noise_type: Optional[str] = None,
     seed: int = 0,
 ) -> jnp.ndarray:
-    """Deterministic fixed-SNR mixing for evaluation-condition parity.
+    """Deterministic fixed-(type x SNR) mixing for evaluation-condition
+    parity (one condition per reference noisy-dataset copy).
 
     Noise row/offset are a deterministic function of the example index and
-    `seed`, so repeated evaluations see identical noisy inputs (mirrors the
-    reference's fixed noisy dataset copies).
+    `seed`, so repeated evaluations see identical noisy inputs.
+    ``noise_type`` selects the bank type by name (None -> first type).
     """
+    bank = NoiseBank.create(noise_bank)
+    arr = bank.banks[bank.type_index(noise_type)]
     B, S = wav.shape
     rng = jax.random.PRNGKey(seed)
     k_idx, k_off = jax.random.split(rng)
-    N, L = noise_bank.shape
+    N, L = arr.shape
     idx = jax.random.randint(k_idx, (B,), 0, N)
     offsets = jax.random.randint(k_off, (B,), 0, max(L - S + 1, 1))
-    noise = _gather_segments(noise_bank, idx, offsets, S)
+    noise = _gather_segments(arr, idx, offsets, S)
     snrs = jnp.full((B,), snr_db, jnp.float32)
     return mix_at_snr(wav, wav_lengths, noise, snrs)

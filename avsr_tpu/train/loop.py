@@ -50,9 +50,19 @@ class Trainer:
         self.run_dir = run_dir or os.path.join("runs", cfg.name)
         self.logger = MetricsLogger(self.run_dir, logfile)
         self.mesh = mesh
-        self.noise_bank = (
-            jnp.asarray(noise_bank) if noise_bank is not None else None
-        )
+        self.noise_bank = None
+        if noise_bank is not None:
+            from avsr_tpu.ops.noise import NoiseBank
+
+            bank = NoiseBank.create(noise_bank)
+            # NoiseConfig.noise_types selects which named types train/eval
+            # may draw from; it applies only to typed banks (a plain-array
+            # bank has one anonymous type).  Unknown names fail loudly.
+            if bank.num_types > 1 and cfg.noise.noise_types:
+                keep = tuple(cfg.noise.noise_types)
+                idxs = [bank.type_index(n) for n in keep]
+                bank = NoiseBank(keep, tuple(bank.banks[i] for i in idxs))
+            self.noise_bank = bank
 
         steps_per_epoch = max(len(train_loader), 1)
         rng = jax.random.PRNGKey(cfg.train.seed)
@@ -62,18 +72,17 @@ class Trainer:
         self.train_step = step_lib.make_jitted_train_step(
             cfg, self.tx, mesh=mesh, noise_bank=self.noise_bank
         )
-        self.eval_step = step_lib.make_jitted_eval_step(
-            cfg, mesh=mesh, noise_bank=self.noise_bank
-        )
         self.ckpt = CheckpointManager(
             os.path.join(self.run_dir, cfg.train.checkpoint_dir),
             keep=cfg.train.keep_checkpoints,
         )
         self.epoch = 0
         self._data_rng = jax.random.PRNGKey(cfg.train.seed + 1)
-        # jitted decode fns cached per (use_beam, cfg): evaluate() runs every
-        # epoch and a fresh jit each call would recompile (minutes on TPU)
+        # jitted decode/eval fns cached per cfg: evaluate() runs every epoch
+        # (and once per noise condition) and a fresh jit each call would
+        # recompile (minutes on TPU)
         self._decode_cache = {}
+        self._eval_step_cache = {}
 
     # ------------------------------------------------------------------
 
@@ -167,24 +176,34 @@ class Trainer:
         loader = loader or self.eval_loader
         acc = ErrorRateAccumulator()
         decode_fn = self._make_decode_fn(use_beam)
-        losses = []
+        losses: List[float] = []
+        weights: List[int] = []
         for bucket, np_batch in loader.epoch(shuffle=False):
             batch = to_model_batch(np_batch)
             batch = self._place(batch)
             ids = decode_fn(self.state.params, batch)
+            metrics = self._make_eval_step()(self.state.params, batch)
             ids = np.asarray(ids)
             n_real = np_batch["num_real"]
+            losses.append(float(metrics["loss"]))
+            weights.append(n_real)
             for j in range(n_real):
                 hyp = self.units.decode(ids[j])
                 ref = self.units.decode(np_batch["targets"][j])
                 acc.update(ref, hyp, np_batch["uids"][j])
         tag = f"epoch{epoch}" if epoch is not None else "final"
         if self.cfg.noise.eval_snr_db is not None:
+            if self.noise_bank is not None and self.noise_bank.num_types > 1:
+                tag += f"_{self.cfg.noise.eval_noise_type}"
             tag += f"_{self.cfg.noise.eval_snr_db:g}dB"
         acc.write_predictions(
             os.path.join(self.run_dir, f"predictions_{tag}.txt")
         )
         summary = acc.summary()
+        if losses:
+            summary["loss"] = float(
+                np.average(losses, weights=np.maximum(weights, 1))
+            )
         # per-eval error-rate summary file (reference workflow: one error
         # file per epoch/condition)
         with open(os.path.join(self.run_dir, f"error_rates_{tag}.txt"), "w") as f:
@@ -202,30 +221,63 @@ class Trainer:
         self,
         snrs=(None, 20.0, 10.0, 0.0, -5.0),
         *,
+        noise_types: Optional[List[str]] = None,
         use_beam: bool = True,
         epoch: Optional[int] = None,
     ) -> Dict[str, Dict[str, float]]:
-        """Per-SNR-condition evaluation matrix (reference workflow: one
-        error-rate file per noise condition, SURVEY.md §1 item 4).  ``None``
-        means clean."""
+        """Per-(noise type x SNR)-condition evaluation matrix (reference
+        workflow: one error-rate file per noise condition — babble/cafe at
+        each SNR, SURVEY.md §1 item 4, §3.3).  SNR ``None`` means clean
+        (evaluated once, type-independent).  ``noise_types`` defaults to all
+        types in the bank (a single anonymous-type bank yields SNR-only
+        conditions, preserving the untyped workflow)."""
         import dataclasses
 
+        if noise_types is None:
+            if self.noise_bank is not None and self.noise_bank.num_types > 1:
+                noise_types = list(self.noise_bank.names)
+            else:
+                noise_types = [None]
         results: Dict[str, Dict[str, float]] = {}
         original = self.cfg
         try:
             for snr in snrs:
-                tag = "clean" if snr is None else f"{snr:g}dB"
-                self.cfg = dataclasses.replace(
-                    original,
-                    noise=dataclasses.replace(original.noise, eval_snr_db=snr),
-                )
-                results[tag] = self.evaluate(
-                    epoch=epoch, use_beam=use_beam
-                )
-                self.logger.log("eval_noise", condition=tag, **results[tag])
+                if snr is None:
+                    conditions = [(None, None)]
+                else:
+                    conditions = [(ntype, snr) for ntype in noise_types]
+                for ntype, csnr in conditions:
+                    tag = "clean" if csnr is None else (
+                        f"{csnr:g}dB" if ntype is None else f"{ntype}_{csnr:g}dB"
+                    )
+                    self.cfg = dataclasses.replace(
+                        original,
+                        noise=dataclasses.replace(
+                            original.noise,
+                            eval_snr_db=csnr,
+                            eval_noise_type=(
+                                ntype if ntype is not None
+                                else original.noise.eval_noise_type
+                            ),
+                        ),
+                    )
+                    results[tag] = self.evaluate(epoch=epoch, use_beam=use_beam)
+                    self.logger.log("eval_noise", condition=tag, **results[tag])
         finally:
             self.cfg = original
         return results
+
+    def _make_eval_step(self):
+        """Jitted eval step for the CURRENT cfg (eval_snr_db/eval_noise_type
+        are baked into the program, so per-condition eval needs one program
+        per condition)."""
+        fn = self._eval_step_cache.get(self.cfg)
+        if fn is None:
+            fn = step_lib.make_jitted_eval_step(
+                self.cfg, mesh=self.mesh, noise_bank=self.noise_bank
+            )
+            self._eval_step_cache[self.cfg] = fn
+        return fn
 
     def _make_decode_fn(self, use_beam: bool):
         cfg = self.cfg

@@ -12,7 +12,7 @@ over ICI (SURVEY.md §2.4).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +21,7 @@ import optax
 from avsr_tpu.configs import ExperimentConfig
 from avsr_tpu.models import seq2seq
 from avsr_tpu.models.seq2seq import Batch
+from avsr_tpu.ops.noise import NoiseBank
 from avsr_tpu.train.optim import build_optimizer
 from avsr_tpu.utils.params import Params
 
@@ -47,7 +48,7 @@ def train_step(
     *,
     cfg: ExperimentConfig,
     tx: optax.GradientTransformation,
-    noise_bank: Optional[jnp.ndarray] = None,
+    noise_bank: Optional[Union[NoiseBank, jnp.ndarray]] = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step.  Pure; jit/shard outside."""
     step_rng = jax.random.fold_in(rng, state.step)
@@ -71,7 +72,7 @@ def eval_step(
     batch: Batch,
     *,
     cfg: ExperimentConfig,
-    noise_bank: Optional[jnp.ndarray] = None,
+    noise_bank: Optional[Union[NoiseBank, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     loss, metrics = seq2seq.loss_fn(
         params, cfg, batch, train=False, rng=jax.random.PRNGKey(0),
@@ -84,7 +85,7 @@ def make_jitted_train_step(
     cfg: ExperimentConfig,
     tx: optax.GradientTransformation,
     mesh=None,
-    noise_bank: Optional[jnp.ndarray] = None,
+    noise_bank: Optional[Union[NoiseBank, jnp.ndarray]] = None,
 ):
     """Build the jitted train step.
 
@@ -103,7 +104,7 @@ def make_jitted_train_step(
 
 
 def make_jitted_eval_step(
-    cfg: ExperimentConfig, mesh=None, noise_bank: Optional[jnp.ndarray] = None
+    cfg: ExperimentConfig, mesh=None, noise_bank: Optional[Union[NoiseBank, jnp.ndarray]] = None
 ):
     fn = functools.partial(eval_step, cfg=cfg, noise_bank=noise_bank)
     if mesh is None:

@@ -80,6 +80,38 @@ def test_predict_api(tmp_path, data):
         assert isinstance(hyp, str)
 
 
+def test_noise_type_matrix(tmp_path, data):
+    """Typed noise bank -> per-(type x SNR) eval conditions with separate
+    error-rate files and per-condition eval loss (SURVEY.md §1 item 4)."""
+    import os
+
+    rng = np.random.default_rng(11)
+    bank = {
+        "babble": rng.standard_normal((1, 60_000)).astype(np.float32),
+        "cafe": rng.uniform(-1, 1, (1, 60_000)).astype(np.float32),
+    }
+    avsr = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        noise_snr_db=(0.0, 10.0),
+        run_dir=str(tmp_path / "nm"),
+        train_utterances=data, eval_utterances=data,
+        noise_bank=bank,
+    )
+    assert avsr.trainer.noise_bank.names == ("babble", "cafe")
+    results = avsr.evaluate_noise_matrix(snrs=(None, 0.0), use_beam=False)
+    assert set(results) == {"clean", "babble_0dB", "cafe_0dB"}
+    for tag, summary in results.items():
+        assert np.isfinite(summary["loss"])  # eval loss is reported
+        suffix = "final" if tag == "clean" else f"final_{tag}"
+        assert os.path.exists(
+            str(tmp_path / "nm" / f"error_rates_{suffix}.txt")
+        ), tag
+    # the two types are genuinely different eval conditions
+    assert results["babble_0dB"]["loss"] != results["cafe_0dB"]["loss"]
+
+
 def test_unit_type_switch(tmp_path, data):
     """Phoneme/viseme unit protocols build distinct vocabularies."""
     for unit, tok in (("phoneme", "aa b sil"), ("viseme", "A B sil")):

@@ -71,6 +71,69 @@ def test_sample_and_mix_shapes_and_determinism():
     assert not np.allclose(a, c)  # different key -> different mix
 
 
+def test_typed_bank_conditions_differ():
+    """babble@0dB and cafe@0dB are DIFFERENT deterministic conditions
+    (SURVEY.md §1 item 4: per-(type x SNR) evaluation)."""
+    rng = np.random.default_rng(3)
+    bank = noise_ops.NoiseBank.create({
+        "babble": rng.standard_normal((2, 9000)).astype(np.float32),
+        "cafe": rng.uniform(-1, 1, (3, 9000)).astype(np.float32),
+    })
+    assert bank.names == ("babble", "cafe") and bank.num_types == 2
+    wav = jnp.asarray(
+        (0.3 * np.sin(np.arange(8000) / 8)).astype(np.float32)[None, :]
+    )
+    lengths = jnp.asarray([8000], jnp.int32)
+    b1 = np.asarray(noise_ops.mix_fixed_snr(wav, lengths, bank, 0.0,
+                                            noise_type="babble"))
+    b2 = np.asarray(noise_ops.mix_fixed_snr(wav, lengths, bank, 0.0,
+                                            noise_type="babble"))
+    c1 = np.asarray(noise_ops.mix_fixed_snr(wav, lengths, bank, 0.0,
+                                            noise_type="cafe"))
+    np.testing.assert_array_equal(b1, b2)  # same condition -> same mix
+    assert not np.allclose(b1, c1)  # different type -> different mix
+    # both achieve the labeled SNR
+    for mixed in (b1, c1):
+        got = measured_snr_db(np.asarray(wav)[0], mixed[0], 8000)
+        assert abs(got - 0.0) < 0.1, got
+    with pytest.raises(KeyError):
+        bank.type_index("street")
+
+
+def test_typed_sample_and_mix_draws_all_types():
+    """Training-time sampling draws from every named type."""
+    bank = noise_ops.NoiseBank.create({
+        "pos": np.full((1, 9000), 1.0, np.float32),
+        "neg": np.full((1, 9000), -1.0, np.float32),
+    })
+    B = 32
+    wav = jnp.asarray(
+        np.tile((0.3 * np.sin(np.arange(8000) / 8)).astype(np.float32),
+                (B, 1))
+    )
+    lengths = jnp.full((B,), 8000, jnp.int32)
+    noisy = np.asarray(
+        noise_ops.sample_and_mix(jax.random.PRNGKey(0), wav, lengths, bank,
+                                 (0.0,), 0.0)
+    )
+    added_sign = np.sign((noisy - np.asarray(wav)).mean(axis=1))
+    assert (added_sign > 0).any() and (added_sign < 0).any()
+
+
+def test_legacy_array_bank_still_works():
+    bank_arr = make_noise_bank(num_rows=2, row_samples=9000)
+    coerced = noise_ops.NoiseBank.create(bank_arr)
+    assert coerced.names == ("noise",)
+    wav = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 8000)).astype(np.float32)
+    )
+    lengths = jnp.asarray([8000, 8000], jnp.int32)
+    out = noise_ops.sample_and_mix(
+        jax.random.PRNGKey(1), wav, lengths, bank_arr, (10.0,), 0.0
+    )
+    assert out.shape == wav.shape
+
+
 def test_fixed_snr_eval_mixing_is_deterministic():
     bank = jnp.asarray(make_noise_bank(num_rows=2, row_samples=10_000))
     wav = jnp.asarray(
