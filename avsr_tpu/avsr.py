@@ -149,22 +149,27 @@ class AVSR:
         self.config = config
         self.unit_dict = load_or_builtin(config.data.unit_file, config.data.unit)
 
+        # Record-path datasets open as STREAMING random-access sources: the
+        # loader decodes records lazily per epoch, so corpus size (LRS2:
+        # multi-GB) never bounds host RSS (SURVEY §2.2 row 10, §2.3 row 5).
+        # AV runs INNER-join the two record files by uid with a logged drop
+        # count (reference two-record iterator semantics).
         train_utts = train_utterances
         if train_utts is None and config.data.audio_train_records:
-            train_utts = tfrecord.read_dataset(config.data.audio_train_records)
-            train_utts = _maybe_join_video(
-                train_utts, config.data.video_train_records
+            train_utts = _open_source(
+                config.data.audio_train_records,
+                config.data.video_train_records,
             )
         eval_utts = eval_utterances
         if eval_utts is None and config.data.audio_eval_records:
-            eval_utts = tfrecord.read_dataset(config.data.audio_eval_records)
-            eval_utts = _maybe_join_video(
-                eval_utts, config.data.video_eval_records
+            eval_utts = _open_source(
+                config.data.audio_eval_records,
+                config.data.video_eval_records,
             )
         if train_utts is None and config.data.video_train_records:
-            train_utts = tfrecord.read_dataset(config.data.video_train_records)
+            train_utts = _open_source(config.data.video_train_records, None)
         if eval_utts is None and config.data.video_eval_records:
-            eval_utts = tfrecord.read_dataset(config.data.video_eval_records)
+            eval_utts = _open_source(config.data.video_eval_records, None)
         if train_utts is None:
             raise ValueError("no training data: pass record paths or utterances")
 
@@ -299,17 +304,13 @@ def _load_noise_bank(record: "str | Dict[str, str]"):
     return one(record)
 
 
-def _maybe_join_video(audio_utts, video_records: Optional[str]):
-    """Join audio and video record streams by uid (reference:
+def _open_source(records: str, video_records: Optional[str]):
+    """Open record file(s) as a lazy random-access source; with a video
+    record file, INNER-join by uid (reference:
     make_iterator_from_two_records, SURVEY §2.2 row 10)."""
-    if not video_records:
-        return audio_utts
-    video_utts = {u.uid: u for u in tfrecord.read_dataset(video_records)}
-    joined = []
-    for u in audio_utts:
-        v = video_utts.get(u.uid)
-        if v is not None:
-            u.video = v.video
-            u.au = v.au
-        joined.append(u)
-    return joined
+    from avsr_tpu.data.grain_loader import JoinedAVSource, TFRecordDataSource
+
+    src = TFRecordDataSource(records)
+    if video_records:
+        return JoinedAVSource(src, TFRecordDataSource(video_records))
+    return src

@@ -1,62 +1,125 @@
-"""Optional grain-backed data source (parallel host-side workers).
+"""Streaming / random-access data sources over TFRecord files.
 
-SURVEY.md §2.3 row 5 plans the tf.data replacement as "host-side grain
-loader with sharded TFRecord parsing".  The default loader
-(avsr_tpu/data/loader.py) is a single-threaded assembler with a prefetch
-thread — sufficient for this model scale; this module provides the grain
-integration for multi-worker hosts: a grain ``RandomAccessDataSource`` over
-TFRecord files (random access via the native C++ record index) and a
-``MapDataset`` pipeline with shuffle + worker parallelism.
+SURVEY.md §2.3 row 5 plans the tf.data replacement as a host-side loader
+with sharded TFRecord parsing.  This module provides the corpus-scale
+ingest layer:
 
-Gated import: environments without grain fall back to BucketingLoader.
+* ``TFRecordDataSource`` — a random-access source (grain protocol:
+  ``__len__`` + ``__getitem__``) that indexes a record file by seeking
+  through the 12-byte framing headers only and decodes payloads lazily per
+  access.  Host RSS stays bounded by the working set, not the corpus size —
+  LRS2-scale (multi-GB) record files stream without materializing
+  (the reference's tf.data streamed the same way, SURVEY §2.2 row 10).
+* ``JoinedAVSource`` — the two-record iterator equivalent
+  (upstream:avsr/io_utils.py make_iterator_from_two_records): INNER joins
+  an audio and a video record file by uid, counting and reporting dropped
+  unmatched utterances instead of silently mixing modality availability.
+* ``make_grain_dataset`` — optional grain ``MapDataset`` wrapper for
+  environments with grain installed.
+
+Sources are picklable (the file handle is opened lazily per process), so
+multiprocessing decode workers can fetch records in parallel
+(DataConfig.num_workers; see loader.BucketingLoader).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+import logging
+from typing import List, Optional, Tuple
 
-import numpy as np
-
-from avsr_tpu.data import tfrecord
+from avsr_tpu.data import proto, tfrecord
 from avsr_tpu.data.synthetic import Utterance
+
+log = logging.getLogger("avsr_tpu")
 
 
 class TFRecordDataSource:
-    """Random-access data source over a TFRecord file (grain protocol:
-    __len__ + __getitem__). Record spans are indexed once via the native
-    C++ framing scanner; payloads decode lazily per access."""
+    """Seek-based random-access source over one TFRecord file.
 
-    def __init__(self, path: str):
+    Indexing reads only framing headers (O(records) bytes); ``__getitem__``
+    seeks to the record span, crc-verifies, and decodes one utterance.
+    """
+
+    def __init__(self, path: str, verify: bool = True):
         self.path = path
-        with open(path, "rb") as f:
-            self._buf = f.read()
-        try:
-            from avsr_tpu import native
+        self.verify = verify
+        self._index: List[Tuple[int, int]] = tfrecord.index_records(path)
+        self._file = None  # opened lazily; never pickled
 
-            if native.available():
-                self._index = native.tfrecord_index(self._buf)
-            else:
-                raise RuntimeError
-        except Exception:
-            self._index = _index_python(self._buf)
+    # -- pickling (multiprocessing workers) --------------------------------
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_file"] = None
+        return state
 
+    def _handle(self):
+        if self._file is None:
+            self._file = open(self.path, "rb")
+        return self._file
+
+    # -- source protocol ----------------------------------------------------
     def __len__(self) -> int:
         return len(self._index)
 
-    def __getitem__(self, i: int) -> Utterance:
+    def record_bytes(self, i: int) -> bytes:
         off, ln = self._index[i]
-        return tfrecord.utterance_from_bytes(self._buf[off : off + ln])
+        return tfrecord.read_record_at(self._handle(), off, ln, self.verify)
+
+    def __getitem__(self, i: int) -> Utterance:
+        return tfrecord.utterance_from_bytes(self.record_bytes(i))
+
+    def uids(self) -> List[str]:
+        """One streaming pass decoding ONLY record contexts -> uid list."""
+        out = []
+        for i in range(len(self)):
+            ctx = proto.decode_sequence_example_context(self.record_bytes(i))
+            out.append(ctx["uid"][0].decode())
+        return out
 
 
-def _index_python(buf: bytes) -> List[tuple]:
-    import struct
+class JoinedAVSource:
+    """Inner join of an audio and a video record source by uid.
 
-    out, pos = [], 0
-    while pos < len(buf):
-        (ln,) = struct.unpack_from("<Q", buf, pos)
-        out.append((pos + 12, ln))
-        pos += 12 + ln + 4
-    return out
+    Every item has BOTH modalities; utterances present in only one file are
+    dropped (counted in ``dropped_audio`` / ``dropped_video`` and logged) —
+    a mixed-availability batch would otherwise dispatch the wrong video
+    codec or silently feed zero video (SURVEY §2.2 row 10 two-record
+    iterator semantics)."""
+
+    def __init__(self, audio: TFRecordDataSource, video: TFRecordDataSource):
+        self.audio = audio
+        self.video = video
+        a_uids = audio.uids()
+        v_uids = {u: j for j, u in enumerate(video.uids())}
+        self._pairs: List[Tuple[int, int]] = [
+            (i, v_uids[u]) for i, u in enumerate(a_uids) if u in v_uids
+        ]
+        self.dropped_audio = len(a_uids) - len(self._pairs)
+        self.dropped_video = len(v_uids) - len(self._pairs)
+        if self.dropped_audio or self.dropped_video:
+            log.warning(
+                "AV uid join dropped %d audio-only and %d video-only "
+                "utterances (%d joined)",
+                self.dropped_audio, self.dropped_video, len(self._pairs),
+            )
+        if not self._pairs:
+            raise ValueError(
+                "audio/video record files share no uids — nothing to train on"
+            )
+
+    def __getstate__(self):
+        return dict(self.__dict__)
+
+    def __len__(self) -> int:
+        return len(self._pairs)
+
+    def __getitem__(self, i: int) -> Utterance:
+        ai, vi = self._pairs[i]
+        u = self.audio[ai]
+        v = self.video[vi]
+        u.video = v.video
+        u.au = v.au
+        return u
 
 
 def make_grain_dataset(
@@ -80,6 +143,6 @@ def make_grain_dataset(
 
 
 def load_utterances(path: str) -> List[Utterance]:
-    """Eagerly materialize a record file (BucketingLoader input)."""
+    """Eagerly materialize a record file (small-corpus convenience)."""
     src = TFRecordDataSource(path)
     return [src[i] for i in range(len(src))]

@@ -50,21 +50,26 @@ class BucketingLoader:
     """Epoch iterator producing static-shape padded batches.
 
     Args:
-      utterances: in-memory dataset (from tfrecord.read_dataset or synthetic).
+      utterances: the dataset — either an in-memory list (synthetic /
+        tfrecord.read_dataset) or any random-access source with ``__len__``
+        + ``__getitem__`` (grain_loader.TFRecordDataSource /
+        JoinedAVSource).  Sources are fetched LAZILY per epoch, so a
+        multi-GB streamed corpus never materializes in host RAM: at most
+        ``num_buckets x batch_size`` decoded utterances are buffered at
+        once (SURVEY.md §2.3 row 5 tf.data-streaming equivalent).
       unit_dict: symbol table for transcript -> ids (+EOS).
-      cfg: DataConfig (batch size, bucket boundaries...).
-      audio_rate_per_bucket_frame: samples per audio *feature* bucket unit —
-        bucket boundaries in DataConfig are expressed in pre-stacking audio
-        frames (10 ms); this converts to waveform samples.
+      cfg: DataConfig (batch size, bucket boundaries, num_workers...).
+        ``cfg.num_workers > 0`` fetches+decodes records in that many
+        multiprocessing workers (bounded in-flight window) — the picklable
+        seek-based sources decode in parallel while the device computes.
       require_audio / require_video: which modalities the architecture needs.
-      drop_remainder: pad the final short batch by repeating examples
-        (keeps shapes static; repeated rows get zero loss weight via
-        target_lengths=0 when mark_padding=True).
+      The final short batch pads by repeating examples (keeps shapes
+      static); repeated rows get zero loss weight via target_lengths=0.
     """
 
     def __init__(
         self,
-        utterances: List[Utterance],
+        utterances,
         unit_dict: UnitDict,
         cfg: DataConfig,
         *,
@@ -90,22 +95,6 @@ class BucketingLoader:
         self.au_dim = au_dim
         self.seed = cfg.seed if seed is None else seed
         self._epoch = 0
-
-        # Precompute per-utterance lengths and encoded labels.
-        self.labels = [
-            np.asarray(unit_dict.encode(u.transcript), np.int32) for u in utterances
-        ]
-        self.audio_len = np.asarray(
-            [len(u.waveform) if u.waveform is not None else 0 for u in utterances]
-        )
-        self.video_len = np.asarray(
-            [u.video.shape[0] if u.video is not None else
-             (u.au.shape[0] if u.au is not None else 0) for u in utterances]
-        )
-        # audio frames at the 10ms rate, used for bucketing
-        self.audio_frames = np.maximum(
-            (self.audio_len - frame_length) // frame_step + 1, 1
-        )
         self._bucket_shapes = self._compute_bucket_shapes()
 
     # -- static shapes ------------------------------------------------------
@@ -130,43 +119,63 @@ class BucketingLoader:
         return int(np.ceil(len(self.utts) / self.cfg.batch_size))
 
     def epoch(self, shuffle: bool = True) -> Iterator[Tuple[int, NumpyBatch]]:
-        """Yield (bucket_id, batch) pairs for one epoch."""
+        """Yield (bucket_id, batch) pairs for one epoch.
+
+        Utterances are fetched from the source lazily (and in parallel when
+        cfg.num_workers > 0); only the partially-filled bucket buffers are
+        held in memory, so corpus size does not bound host RSS."""
         order = np.arange(len(self.utts))
         if shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
         self._epoch += 1
 
-        buckets: Dict[int, List[int]] = {}
-        for idx in order:
-            b = _bucket_for(
-                int(self.audio_frames[idx]) if self.require_audio
-                else int(self.video_len[idx]),
-                self.cfg.audio_bucket_boundaries,
-            )
-            buckets.setdefault(b, []).append(int(idx))
+        buckets: Dict[int, List[Utterance]] = {}
+        for u in self._iter_utterances(order):
+            if self.require_audio:
+                wlen = len(u.waveform) if u.waveform is not None else 0
+                length = max((wlen - self.frame_length) // self.frame_step + 1, 1)
+            else:
+                length = (
+                    u.video.shape[0] if u.video is not None
+                    else (u.au.shape[0] if u.au is not None else 0)
+                )
+            b = _bucket_for(int(length), self.cfg.audio_bucket_boundaries)
+            buckets.setdefault(b, []).append(u)
             if len(buckets[b]) == self.cfg.batch_size:
                 yield b, self._assemble(b, buckets.pop(b))
         # flush partial batches, repeating rows to keep shapes static
-        for b, idxs in buckets.items():
-            n_real = len(idxs)
-            while len(idxs) < self.cfg.batch_size:
-                idxs.append(idxs[len(idxs) % n_real])
-            yield b, self._assemble(b, idxs, n_real=n_real)
+        for b, batch_utts in buckets.items():
+            n_real = len(batch_utts)
+            while len(batch_utts) < self.cfg.batch_size:
+                batch_utts.append(batch_utts[len(batch_utts) % n_real])
+            yield b, self._assemble(b, batch_utts, n_real=n_real)
 
-    def _assemble(self, bucket: int, idxs: List[int], n_real: Optional[int] = None) -> NumpyBatch:
+    def _iter_utterances(self, order: np.ndarray) -> Iterator[Utterance]:
+        """Fetch utterances in `order`, optionally via a bounded-window
+        multiprocessing pool (DataConfig.num_workers)."""
+        if self.cfg.num_workers <= 0 or len(order) == 0:
+            for idx in order:
+                yield self.utts[int(idx)]
+            return
+        yield from _parallel_fetch(self.utts, order, self.cfg.num_workers)
+
+    def _assemble(
+        self, bucket: int, batch_utts: List[Utterance],
+        n_real: Optional[int] = None,
+    ) -> NumpyBatch:
         shape = self._bucket_shapes[bucket]
-        B = len(idxs)
+        B = len(batch_utts)
         out = NumpyBatch()
-        out["uids"] = [self.utts[i].uid for i in idxs]
+        out["uids"] = [u.uid for u in batch_utts]
         out["num_real"] = n_real if n_real is not None else B
 
         if self.require_audio:
             S = shape.audio_samples
             wav = np.zeros((B, S), np.float32)
             wlen = np.zeros((B,), np.int32)
-            for j, i in enumerate(idxs):
-                w = self.utts[i].waveform
+            for j, u in enumerate(batch_utts):
+                w = u.waveform
                 n = min(len(w), S)
                 wav[j, :n] = w[:n]
                 wlen[j] = n
@@ -175,13 +184,13 @@ class BucketingLoader:
 
         if self.require_video:
             T = shape.video_frames
-            first = self.utts[idxs[0]]
+            first = batch_utts[0]
             if first.video is not None:
                 fshape = first.video.shape[1:]
                 vid = np.zeros((B, T, *fshape), np.float32)
                 vlen = np.zeros((B,), np.int32)
-                for j, i in enumerate(idxs):
-                    v = self.utts[i].video
+                for j, u in enumerate(batch_utts):
+                    v = u.video
                     n = min(v.shape[0], T)
                     vid[j, :n] = v[:n]
                     vlen[j] = n
@@ -189,8 +198,8 @@ class BucketingLoader:
                 au_dim = first.au.shape[1]
                 vid = np.zeros((B, T, au_dim), np.float32)
                 vlen = np.zeros((B,), np.int32)
-                for j, i in enumerate(idxs):
-                    v = self.utts[i].au
+                for j, u in enumerate(batch_utts):
+                    v = u.au
                     n = min(v.shape[0], T)
                     vid[j, :n] = v[:n]
                     vlen[j] = n
@@ -205,12 +214,13 @@ class BucketingLoader:
             T_a = max((T_raw - stack) // skip + 1, 1)
             au_t = np.zeros((B, T_a, self.au_dim), np.float32)
             feat_rate = 100.0 / skip  # stacked-feature frames per second
-            for j, i in enumerate(idxs):
-                au = self.utts[i].au
+            for j, u in enumerate(batch_utts):
+                au = u.au
                 if au is None:
                     continue
+                wlen = len(u.waveform) if u.waveform is not None else 0
                 n_aud = max(
-                    ((min(int(self.audio_len[i]), shape.audio_samples)
+                    ((min(wlen, shape.audio_samples)
                       - self.frame_length) // self.frame_step + 1 - stack)
                     // skip + 1, 0)
                 for t in range(min(n_aud, T_a)):
@@ -224,8 +234,8 @@ class BucketingLoader:
         K = shape.label_len
         tgt = np.zeros((B, K), np.int32)
         tlen = np.zeros((B,), np.int32)
-        for j, i in enumerate(idxs):
-            ids = self.labels[i][:K]
+        for j, u in enumerate(batch_utts):
+            ids = np.asarray(self.units.encode(u.transcript), np.int32)[:K]
             tgt[j, : len(ids)] = ids
             tlen[j] = len(ids)
         # repeated padding rows contribute zero loss
@@ -234,6 +244,54 @@ class BucketingLoader:
         out["targets"] = tgt
         out["target_lengths"] = tlen
         return out
+
+
+#: per-worker-process source handle, installed by the pool initializer so the
+#: (potentially index-heavy) source pickles ONCE per worker, not per task.
+_WORKER_SOURCE = None
+
+
+def _worker_init(source) -> None:
+    global _WORKER_SOURCE
+    _WORKER_SOURCE = source
+
+
+def _worker_fetch(idx: int):
+    return _WORKER_SOURCE[idx]
+
+
+def _parallel_fetch(source, order: np.ndarray, num_workers: int):
+    """Fetch+decode records in worker processes, preserving `order`.
+
+    The in-flight window is bounded (4 tasks per worker) so results never
+    accumulate unboundedly ahead of the consumer — the tf.data
+    parallel-parse equivalent (SURVEY.md §2.3 row 5)."""
+    import collections
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    window = num_workers * 4
+    # spawn, not fork: the training process carries live XLA/device threads
+    # and fork() in a threaded process risks deadlocks.  The data modules
+    # import without jax, so spawned workers start cheap.
+    ex = ProcessPoolExecutor(
+        max_workers=num_workers, mp_context=mp.get_context("spawn"),
+        initializer=_worker_init, initargs=(source,),
+    )
+    try:
+        pending: "collections.deque" = collections.deque()
+        it = iter(order)
+        for idx in it:
+            pending.append(ex.submit(_worker_fetch, int(idx)))
+            if len(pending) >= window:
+                break
+        while pending:
+            yield pending.popleft().result()
+            for idx in it:
+                pending.append(ex.submit(_worker_fetch, int(idx)))
+                break
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 class PrefetchIterator:

@@ -121,19 +121,32 @@ def _iter_fields(data: bytes):
 
 
 def encode_feature(value: FeatureValue) -> bytes:
-    """Infer the list type from the first element (empty -> bytes list)."""
+    """Infer the list type from the first element (empty -> bytes list).
+
+    NumPy float arrays take a zero-copy fast path (packed FloatList straight
+    from the buffer) — corpus-scale record writing is dominated by waveform
+    serialization otherwise."""
+    import numpy as _np
+
+    if isinstance(value, _np.ndarray) and value.dtype.kind == "f":
+        packed = _np.ascontiguousarray(value, dtype="<f4").tobytes()
+        pl = bytearray()
+        _write_len_delimited(pl, 1, packed)
+        out = bytearray()
+        _write_len_delimited(out, 2, bytes(pl))
+        return bytes(out)
     inner = bytearray()
-    if value and isinstance(value[0], (bytes, bytearray)):
+    if len(value) and isinstance(value[0], (bytes, bytearray)):
         for v in value:
             _write_len_delimited(inner, 1, bytes(v))
         kind = 1
-    elif value and isinstance(value[0], float):
+    elif len(value) and isinstance(value[0], float):
         packed = struct.pack(f"<{len(value)}f", *value)
         pl = bytearray()
         _write_len_delimited(pl, 1, packed)
         inner = pl
         kind = 2
-    elif value and isinstance(value[0], int):
+    elif len(value) and isinstance(value[0], int):
         pl = bytearray()
         packed = bytearray()
         for v in value:
@@ -272,6 +285,17 @@ def encode_sequence_example(
     if feature_lists:
         _write_len_delimited(out, 2, encode_feature_lists(feature_lists))
     return bytes(out)
+
+
+def decode_sequence_example_context(data: bytes) -> Dict[str, FeatureValue]:
+    """Decode ONLY the context of a SequenceExample, skipping feature_lists.
+
+    Streaming ingest uses this for cheap metadata scans (uid, lengths) —
+    the heavy per-frame feature_lists bytes are never parsed."""
+    for field, _wt, payload in _iter_fields(data):
+        if field == 1:
+            return decode_features(payload)
+    return {}
 
 
 def decode_sequence_example(data: bytes):

@@ -119,6 +119,48 @@ def iter_records(path: str, verify: bool = True) -> Iterator[bytes]:
         pos = start + ln + 4
 
 
+def index_records(path: str) -> List[Tuple[int, int]]:
+    """Scan a TFRecord file's framing WITHOUT loading payloads.
+
+    Seeks through the stream reading only the 12-byte headers (length-crc
+    verified), so indexing a multi-GB file touches O(records) bytes of RAM —
+    the streaming-ingest counterpart of the in-memory native index
+    (SURVEY.md §2.3 row 5).  Returns [(payload_offset, payload_len)].
+    """
+    spans: List[Tuple[int, int]] = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        pos = 0
+        while pos < size:
+            header = f.read(12)
+            if len(header) < 12:
+                raise ValueError("truncated TFRecord stream")
+            (ln,) = struct.unpack_from("<Q", header, 0)
+            (len_crc,) = struct.unpack_from("<I", header, 8)
+            if masked_crc32c(header[:8]) != len_crc:
+                raise ValueError(f"length crc mismatch at offset {pos}")
+            if pos + 16 > size or ln > size - pos - 16:
+                raise ValueError("truncated TFRecord stream")
+            spans.append((pos + 12, ln))
+            pos += 12 + ln + 4
+            f.seek(pos)
+    return spans
+
+
+def read_record_at(f, offset: int, length: int, verify: bool = True) -> bytes:
+    """Read one record payload from an open binary file by span."""
+    f.seek(offset)
+    data = f.read(length)
+    if len(data) != length:
+        raise ValueError("truncated TFRecord payload")
+    if verify:
+        crc_bytes = f.read(4)
+        (data_crc,) = struct.unpack("<I", crc_bytes)
+        if masked_crc32c(data) != data_crc:
+            raise ValueError(f"data crc mismatch at offset {offset}")
+    return data
+
+
 class TFRecordWriter:
     """Streaming TFRecord writer (named for parity with the reference's
     ``TFRecordWriter`` class, upstream:avsr/dataset_writer.py)."""
@@ -167,11 +209,11 @@ def utterance_to_bytes(u: Utterance, video_codec: str = "float32") -> bytes:
     if u.waveform is not None:
         wav = np.asarray(u.waveform, np.float32)
         context["waveform_len"] = [int(wav.shape[0])]
-        rows = [
-            wav[i : i + _WAVE_CHUNK].tolist()
-            for i in range(0, len(wav), _WAVE_CHUNK)
+        # ndarray rows hit the proto packed-FloatList fast path (no
+        # per-sample Python boxing) — the corpus-writer hot loop.
+        feature_lists["waveform"] = [
+            wav[i : i + _WAVE_CHUNK] for i in range(0, len(wav), _WAVE_CHUNK)
         ]
-        feature_lists["waveform"] = [[float(x) for x in r] for r in rows]
     if u.video is not None:
         vid = np.asarray(u.video, np.float32)
         T, H, W = vid.shape[0], vid.shape[1], vid.shape[2]
@@ -196,7 +238,7 @@ def utterance_to_bytes(u: Utterance, video_codec: str = "float32") -> bytes:
     if u.au is not None:
         au = np.asarray(u.au, np.float32)
         context["au_dim"] = [int(au.shape[1])]
-        feature_lists["au"] = [[float(x) for x in au[t]] for t in range(au.shape[0])]
+        feature_lists["au"] = [au[t] for t in range(au.shape[0])]
     return proto.encode_sequence_example(context, feature_lists)
 
 
