@@ -220,21 +220,53 @@ class AVSR:
         epoch: Optional[int] = None,
         use_beam: bool = True,
     ) -> Dict[str, float]:
-        if checkpoint is not None or self.trainer.ckpt.latest_step() is not None:
-            # restore by explicit step (path tail) or latest
-            step = None
-            if checkpoint is not None:
-                try:
-                    step = int(os.path.basename(str(checkpoint)))
-                except ValueError:
-                    step = None
-            try:
-                self.trainer.state, _, _ = self.trainer.ckpt.restore(
-                    self.trainer.state, step
-                )
-            except FileNotFoundError:
-                pass
+        """Evaluate the eval set; ``checkpoint`` restores an explicit step
+        (an int, a step string, or a path ending in the step directory).
+
+        An unresolvable or missing checkpoint FAILS LOUDLY — silently
+        evaluating the wrong model is worse than an error."""
+        if checkpoint is not None:
+            step = self._resolve_checkpoint_step(checkpoint)
+            self.trainer.state, _, _ = self.trainer.ckpt.restore(
+                self.trainer.state, step
+            )
+        elif self.trainer.ckpt.latest_step() is not None:
+            self.trainer.state, _, _ = self.trainer.ckpt.restore(
+                self.trainer.state
+            )
         return self.trainer.evaluate(epoch=epoch, use_beam=use_beam)
+
+    def _resolve_checkpoint_step(self, checkpoint) -> int:
+        """checkpoint -> step int; raises on anything unresolvable."""
+        if isinstance(checkpoint, int):
+            step = checkpoint
+        else:
+            ck = os.path.normpath(str(checkpoint))
+            base = os.path.basename(ck)
+            try:
+                step = int(base)
+            except ValueError:
+                raise ValueError(
+                    f"cannot resolve checkpoint {checkpoint!r}: expected a "
+                    f"step number or a path ending in the step directory "
+                    f"(e.g. .../checkpoints/42)"
+                ) from None
+            # A full path must point INTO this run's checkpoint directory —
+            # restoring 'step 42' from some other run's path would silently
+            # load the wrong model.
+            parent = os.path.dirname(os.path.abspath(ck))
+            if base != ck and parent != self.trainer.ckpt.directory:
+                raise ValueError(
+                    f"checkpoint path {checkpoint!r} is not under this "
+                    f"run's checkpoint directory {self.trainer.ckpt.directory}"
+                )
+        if step not in (self.trainer.ckpt.all_steps() or []):
+            raise FileNotFoundError(
+                f"no checkpoint for step {step} under "
+                f"{self.trainer.ckpt.directory}; available: "
+                f"{self.trainer.ckpt.all_steps()}"
+            )
+        return step
 
     def decode(self, use_beam: bool = True):
         """Decode the eval set; returns the ErrorRateAccumulator-style summary."""

@@ -158,11 +158,11 @@ class DecoderConfig:
     # sampled prediction instead of the gold token at each step (0 = pure
     # teacher forcing, 1 = free running).
     sampling_probability: float = 0.0
-    # Maximum label length (static decode horizon).
+    # Maximum label length (static decode horizon).  The bimodal decoder
+    # (upstream:avsr/decoder_bimodal.py, §2.2 row 6) needs no knob here:
+    # architecture="bimodal" hands the decoder two attention memories and it
+    # builds one attention mechanism per memory (dual attention).
     max_label_length: int = 150
-    # Bimodal decoder: attend over audio and video memories with two
-    # attention mechanisms (upstream:avsr/decoder_bimodal.py, §2.2 row 6).
-    bimodal: bool = False
 
 
 @dataclass(frozen=True)
@@ -365,11 +365,7 @@ def av_align_tcdtimit() -> ExperimentConfig:
 def bimodal_tcdtimit() -> ExperimentConfig:
     """Bimodal-decoder baseline: decoder attends to audio AND video memories
     with two attention mechanisms (upstream decoder_bimodal.py)."""
-    return ExperimentConfig(
-        architecture="bimodal",
-        decoder=DecoderConfig(bimodal=True),
-        name="bimodal_tcdtimit",
-    )
+    return ExperimentConfig(architecture="bimodal", name="bimodal_tcdtimit")
 
 
 def av_align_noisy() -> ExperimentConfig:

@@ -86,9 +86,9 @@ def model_init(key, cfg: ExperimentConfig, vocab_size: int) -> Params:
     else:
         raise ValueError(f"unknown architecture {arch}")
 
-    dec_cfg = cfg.decoder
-    if arch == "bimodal" and not dec_cfg.bimodal:
-        dec_cfg = dec_cfg  # bimodality is implied by two memories
+    # Bimodal decoding (upstream decoder_bimodal.py) is expressed purely by
+    # the two-entry memory_dims: the decoder builds one attention mechanism
+    # per memory and concatenates the contexts (dual attention).
     params["decoder"] = dec.decoder_init(keys[4], cfg.decoder, memory_dims, vocab_size)
     return params
 

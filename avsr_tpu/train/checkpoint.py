@@ -52,6 +52,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list:
+        return sorted(self._mgr.all_steps())
+
     def restore(
         self, state_template: TrainState, step: Optional[int] = None
     ) -> Tuple[TrainState, Dict[str, Any], int]:

@@ -80,6 +80,29 @@ def test_predict_api(tmp_path, data):
         assert isinstance(hyp, str)
 
 
+def test_evaluate_bogus_checkpoint_fails_loudly(tmp_path, data):
+    """A wrong/unresolvable checkpoint path must raise, not silently
+    evaluate the latest (or initial) model."""
+    avsr = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "rb"),
+        train_utterances=data, eval_utterances=data,
+    )
+    with pytest.raises(ValueError, match="cannot resolve checkpoint"):
+        avsr.evaluate(checkpoint="/nowhere/model.ckpt")
+    with pytest.raises(FileNotFoundError, match="no checkpoint for step"):
+        avsr.evaluate(checkpoint=123)
+    avsr.train(num_epochs=1)
+    step = avsr.trainer.ckpt.latest_step()
+    with pytest.raises(ValueError, match="not under this run"):
+        avsr.evaluate(checkpoint=f"/some/other/run/checkpoints/{step}")
+    # a correct explicit step (int or in-run path) works
+    summary = avsr.evaluate(checkpoint=step, use_beam=False)
+    assert "cer" in summary
+
+
 def test_noise_type_matrix(tmp_path, data):
     """Typed noise bank -> per-(type x SNR) eval conditions with separate
     error-rate files and per-condition eval loss (SURVEY.md §1 item 4)."""

@@ -158,6 +158,21 @@ def test_evaluate_noise_matrix(tmp_path, data):
     )
 
 
+def test_overfit_bimodal(tmp_path, data):
+    """Bimodal-decoder baseline end to end: the decoder attends over audio
+    AND video memories with one attention mechanism each (upstream
+    decoder_bimodal.py, SURVEY §2.2 row 6) [BASELINE.json:configs]."""
+    cfg = overfit_config("bimodal", str(tmp_path), epochs=30)
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runbm"),
+                train_utterances=data, eval_utterances=data)
+    # two attention memories reach the decoder
+    from avsr_tpu.models import seq2seq
+    assert len(seq2seq.memory_dims_of(cfg)) == 2
+    avsr.train(num_epochs=cfg.train.num_epochs)
+    summary = avsr.evaluate(use_beam=True)
+    assert summary["cer"] < 0.35, summary
+
+
 def test_overfit_video(tmp_path, data):
     cfg = overfit_config("video", str(tmp_path), epochs=16)
     avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runv"),
