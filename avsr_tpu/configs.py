@@ -196,8 +196,12 @@ class NoiseConfig:
 class DataConfig:
     """Input pipeline (upstream:avsr/io_utils.py, SURVEY §2.2 row 10)."""
 
-    unit: str = "character"  # "character" | "phoneme" | "viseme"
+    unit: str = "character"  # "character" | "character_lrs2" | "phoneme" | "viseme"
     unit_file: Optional[str] = None  # path to symbol table; None = builtin
+    # Fail on transcripts containing out-of-inventory units instead of
+    # silently dropping them (dropped symbols in references fake better
+    # error rates); off by default for reference parity.
+    strict_units: bool = False
     audio_train_records: Optional[str] = None
     audio_eval_records: Optional[str] = None
     video_train_records: Optional[str] = None
@@ -385,6 +389,8 @@ def lrs2_full() -> ExperimentConfig:
         decoder=DecoderConfig(sampling_probability=0.1, max_label_length=150),
         fusion=FusionConfig(au_loss_weight=10.0),
         decode=DecodeConfig(beam_width=10),
+        # LRS2 transcripts contain digits/punctuation the base charset lacks
+        data=DataConfig(unit="character_lrs2"),
         name="lrs2_av_align",
     )
 

@@ -66,6 +66,26 @@ def resample_linear(x: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _face_detector(cv2):
+    """Best available face detector, or None for the geometric fallback.
+
+    OpenCV 4 ships Haar cascades (cv2.CascadeClassifier); OpenCV 5 removed
+    them in favor of DNN detectors that require model files we cannot assume
+    offline.  With no detector every frame uses the lower-third center-crop
+    heuristic — the same graceful degradation applied to failed detections.
+    """
+    if hasattr(cv2, "CascadeClassifier") and hasattr(cv2, "data"):
+        xml = cv2.data.haarcascades + "haarcascade_frontalface_default.xml"
+        if os.path.exists(xml):
+            cascade = cv2.CascadeClassifier(xml)
+
+            def detect(gray):
+                return cascade.detectMultiScale(gray, 1.1, 4)
+
+            return detect
+    return None
+
+
 def extract_lip_rois(
     video_path: str,
     roi_size: int = 36,
@@ -86,9 +106,7 @@ def extract_lip_rois(
             "host with cv2 installed"
         ) from e
 
-    cascade = cv2.CascadeClassifier(
-        cv2.data.haarcascades + "haarcascade_frontalface_default.xml"
-    )
+    detect = _face_detector(cv2)
     cap = cv2.VideoCapture(video_path)
     rois: List[np.ndarray] = []
     last_box: Optional[Tuple[int, int, int, int]] = None
@@ -97,9 +115,10 @@ def extract_lip_rois(
         if not ok or (max_frames and len(rois) >= max_frames):
             break
         gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-        faces = cascade.detectMultiScale(gray, 1.1, 4)
-        if len(faces):
-            last_box = max(faces, key=lambda b: b[2] * b[3])
+        if detect is not None:
+            faces = detect(gray)
+            if len(faces):
+                last_box = max(faces, key=lambda b: b[2] * b[3])
         if last_box is not None:
             x, y, w, h = last_box
             mouth = gray[y + 2 * h // 3 : y + h, x + w // 4 : x + 3 * w // 4]

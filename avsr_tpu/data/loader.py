@@ -15,9 +15,12 @@ optional grain-backed parallel variant is provided for multi-worker hosts.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_log = logging.getLogger("avsr_tpu")
 
 from avsr_tpu.configs import DataConfig
 from avsr_tpu.data.synthetic import Utterance
@@ -95,6 +98,7 @@ class BucketingLoader:
         self.au_dim = au_dim
         self.seed = cfg.seed if seed is None else seed
         self._epoch = 0
+        self._warned_oov = False
         self._bucket_shapes = self._compute_bucket_shapes()
 
     # -- static shapes ------------------------------------------------------
@@ -234,8 +238,22 @@ class BucketingLoader:
         K = shape.label_len
         tgt = np.zeros((B, K), np.int32)
         tlen = np.zeros((B,), np.int32)
+        on_unknown = "error" if self.cfg.strict_units else "drop"
         for j, u in enumerate(batch_utts):
-            ids = np.asarray(self.units.encode(u.transcript), np.int32)[:K]
+            if not self.cfg.strict_units and not self._warned_oov:
+                n_oov = self.units.count_unknown(u.transcript)
+                if n_oov:
+                    self._warned_oov = True
+                    _log.warning(
+                        "transcript %r contains %d unit(s) outside the %s "
+                        "inventory; they are DROPPED from targets (set "
+                        "data.strict_units=true to fail instead)",
+                        u.transcript, n_oov, self.units.unit_type,
+                    )
+            ids = np.asarray(
+                self.units.encode(u.transcript, on_unknown=on_unknown),
+                np.int32,
+            )[:K]
             tgt[j, : len(ids)] = ids
             tlen[j] = len(ids)
         # repeated padding rows contribute zero loss

@@ -30,6 +30,13 @@ _SPECIALS = [PAD, GO, EOS]
 # (lowercase letters, space, apostrophe).
 _CHARACTERS = list("abcdefghijklmnopqrstuvwxyz") + [" ", "'"]
 
+# LRS2 character inventory: LRS2 transcripts additionally contain digits —
+# with the base inventory they would be silently dropped from references,
+# faking better WER.  Punctuation policy: keep apostrophe/hyphen/period/comma
+# (they appear in LRS2 text), drop everything else explicitly via the unit
+# file if a different protocol is needed.
+_CHARACTERS_LRS2 = _CHARACTERS + list("0123456789") + ["-", ".", ","]
+
 # ARPAbet-style phoneme inventory (TCD-TIMIT protocol set, reduced 39).
 _PHONEMES = (
     "aa ae ah aw ay b ch d dh eh er ey f g hh ih iy jh k l m n ng ow oy p r s"
@@ -60,21 +67,41 @@ class UnitDict:
 
     # -- encode / decode ------------------------------------------------------
     def tokenize(self, transcript: str) -> List[str]:
-        if self.unit_type == "character":
+        if self.unit_type.startswith("character"):
             return list(transcript.lower())
         return transcript.strip().split()
 
-    def encode(self, transcript: str, add_eos: bool = True) -> List[int]:
-        """Transcript -> ids.  Unknown units are skipped (reference behavior:
-        record writers filtered transcripts to the unit inventory)."""
-        ids = [
-            self.unit_to_idx[t]
-            for t in self.tokenize(transcript)
-            if t in self.unit_to_idx
-        ]
+    def encode(
+        self, transcript: str, add_eos: bool = True, on_unknown: str = "drop"
+    ) -> List[int]:
+        """Transcript -> ids.
+
+        ``on_unknown`` controls out-of-inventory units:
+          * "drop" (default, reference behavior: record writers filtered
+            transcripts to the unit inventory) — silently skip;
+          * "error" — raise, naming the offending symbols.  Use for corpora
+            whose transcripts should be fully covered (dropped symbols in
+            REFERENCES fake better error rates).
+        """
+        toks = self.tokenize(transcript)
+        if on_unknown == "error":
+            unknown = sorted({t for t in toks if t not in self.unit_to_idx})
+            if unknown:
+                raise ValueError(
+                    f"transcript contains units outside the "
+                    f"{self.unit_type!r} inventory: {unknown!r} "
+                    f"(transcript={transcript!r})"
+                )
+        ids = [self.unit_to_idx[t] for t in toks if t in self.unit_to_idx]
         if add_eos:
             ids.append(EOS_ID)
         return ids
+
+    def count_unknown(self, transcript: str) -> int:
+        """Number of tokens encode() would drop."""
+        return sum(
+            1 for t in self.tokenize(transcript) if t not in self.unit_to_idx
+        )
 
     def decode(self, ids: Iterable[int], stop_at_eos: bool = True) -> str:
         units: List[str] = []
@@ -86,7 +113,7 @@ class UnitDict:
                 continue
             if 0 <= i < len(self.idx_to_unit):
                 units.append(self.idx_to_unit[i])
-        if self.unit_type == "character":
+        if self.unit_type.startswith("character"):
             return "".join(units)
         return " ".join(units)
 
@@ -103,7 +130,7 @@ class UnitDict:
             for line in f:
                 line = line.rstrip("\n")
                 # Tolerate "unit id" two-column tables as well as one-per-line.
-                if " " in line and unit_type != "character":
+                if " " in line and not unit_type.startswith("character"):
                     line = line.split()[0]
                 if line and line not in _SPECIALS:
                     units.append(line)
@@ -113,6 +140,8 @@ class UnitDict:
 def builtin_unit_dict(unit_type: str = "character") -> UnitDict:
     if unit_type == "character":
         return UnitDict(_CHARACTERS, "character")
+    if unit_type == "character_lrs2":
+        return UnitDict(_CHARACTERS_LRS2, "character_lrs2")
     if unit_type == "phoneme":
         return UnitDict(_PHONEMES, "phoneme")
     if unit_type == "viseme":

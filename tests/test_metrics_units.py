@@ -77,3 +77,52 @@ def test_viseme_dict():
     d = builtin_unit_dict("viseme")
     assert d.vocab_size > 3
     assert d.decode(d.encode("A B sil")) == "A B sil"
+
+
+def test_lrs2_charset_roundtrips_digits():
+    """LRS2 transcripts contain digits; the character_lrs2 inventory must
+    round-trip them (VERDICT round-1 item 8)."""
+    from avsr_tpu.data.units import builtin_unit_dict
+
+    d = builtin_unit_dict("character_lrs2")
+    text = "meet me at 10.30, flat 4-b o'clock"
+    assert d.decode(d.encode(text)) == text
+    # the base charset would silently drop the digits
+    base = builtin_unit_dict("character")
+    assert base.decode(base.encode(text)) != text
+
+
+def test_encode_strict_mode_errors_on_unknown():
+    from avsr_tpu.data.units import builtin_unit_dict
+
+    d = builtin_unit_dict("character")
+    import pytest
+
+    with pytest.raises(ValueError, match="outside the 'character' inventory"):
+        d.encode("agent 007", on_unknown="error")
+    assert d.count_unknown("agent 007") == 3
+    assert d.count_unknown("agent") == 0
+
+
+def test_loader_strict_units(tmp_path):
+    from avsr_tpu.configs import DataConfig
+    from avsr_tpu.data.loader import BucketingLoader
+    from avsr_tpu.data.synthetic import Utterance
+    from avsr_tpu.data.units import builtin_unit_dict
+    import numpy as np
+    import pytest
+
+    utt = Utterance(uid="u0", transcript="call 911",
+                    waveform=np.zeros(4000, np.float32))
+    mk = lambda strict: BucketingLoader(
+        [utt], builtin_unit_dict("character"),
+        DataConfig(batch_size=1, audio_bucket_boundaries=(100,),
+                   max_label_length=12, strict_units=strict),
+        require_audio=True, require_video=False,
+        frame_step=160, frame_length=400,
+    )
+    # default: drops digits (with a warning) and still batches
+    batches = list(mk(False).epoch(shuffle=False))
+    assert len(batches) == 1
+    with pytest.raises(ValueError, match="outside the 'character' inventory"):
+        list(mk(True).epoch(shuffle=False))
