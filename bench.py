@@ -116,6 +116,18 @@ def main() -> None:
     )
     n_chips = 1  # bench runs single-chip
     fps_per_chip = frames_per_step * MEASURE_STEPS / dt / n_chips
+    ms_per_step = dt / MEASURE_STEPS * 1e3
+
+    # Absolute-performance accounting (BASELINE.md §C): analytic matmul
+    # FLOPs per train step -> MFU against the device's bf16 peak.
+    from avsr_tpu.utils.flops import peak_flops_of, train_step_flops
+
+    flops = train_step_flops(
+        cfg, batch=BATCH, audio_samples=S, video_frames=VIDEO_FRAMES,
+        label_len=LABEL_LEN, vocab=VOCAB,
+    )
+    peak = peak_flops_of(jax.devices()[0])
+    mfu_pct = flops["total"] / (dt / MEASURE_STEPS) / peak * 100.0
 
     print(
         json.dumps(
@@ -124,6 +136,9 @@ def main() -> None:
                 "value": round(fps_per_chip, 1),
                 "unit": "10ms audio frames/sec/chip (AV-Align train step)",
                 "vs_baseline": round(fps_per_chip / TF1_CPU_BASELINE_FPS, 2),
+                "ms_per_step": round(ms_per_step, 2),
+                "model_flops_per_step": round(flops["total"]),
+                "mfu_pct": round(mfu_pct, 2),
             }
         )
     )

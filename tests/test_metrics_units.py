@@ -126,3 +126,32 @@ def test_loader_strict_units(tmp_path):
     assert len(batches) == 1
     with pytest.raises(ValueError, match="outside the 'character' inventory"):
         list(mk(True).epoch(shuffle=False))
+
+
+def test_train_step_flops_hand_check():
+    """Analytic FLOPs: hand-verify the dominant LSTM term on a minimal
+    audio-only config (BASELINE.md §C MFU accounting)."""
+    from avsr_tpu.configs import (AudioFrontendConfig, DecoderConfig,
+                                  EncoderConfig, ExperimentConfig)
+    from avsr_tpu.utils.flops import train_step_flops
+
+    cfg = ExperimentConfig(
+        architecture="audio",
+        audio=AudioFrontendConfig(num_mel_bins=10, add_deltas=False,
+                                  frame_stacking=1, frame_skipping=1,
+                                  use_matmul_dft=False,
+                                  feature_type="spectrogram"),
+        audio_encoder=EncoderConfig(hidden_units=(8,), bidirectional=False),
+        decoder=DecoderConfig(embedding_dim=4, hidden_units=(8,),
+                              attention_units=4),
+    )
+    B, S, K, V = 2, 16_000, 5, 7
+    f = train_step_flops(cfg, batch=B, audio_samples=S, label_len=K, vocab=V)
+    T = (S - cfg.audio.frame_length) // cfg.audio.frame_step + 1
+    D = cfg.audio.fft_length // 2 + 1  # spectrogram input dim
+    # encoder fwd: 2*B*T*4H*(D+H); train factor 3
+    expect_enc = 3 * 2 * B * T * 4 * 8 * (D + 8)
+    assert f["audio_encoder"] == expect_enc
+    assert f["total"] > f["audio_encoder"] > 0
+    assert f["total"] == sum(v for k, v in f.items()
+                             if k not in ("total", "forward"))
