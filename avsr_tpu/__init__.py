@@ -1,6 +1,6 @@
 """avsr_tpu: TPU-native audio-visual speech recognition framework.
 
-A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+A from-scratch JAX/XLA rebuild of the capabilities of
 georgesterpu/avsr-tf1 (see SURVEY.md): seq2seq AVSR with log-mel audio and
 lip-ROI CNN video frontends, (Bi)LSTM encoders, AV-Align cross-modal
 attention fusion, attention character decoders, batched beam search,

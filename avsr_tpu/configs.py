@@ -210,6 +210,13 @@ class DataConfig:
     # Static-shape length bucketing: audio-frame bucket boundaries.  Each
     # batch is padded to its bucket's (T_audio, T_video, label_len) maxima.
     audio_bucket_boundaries: Tuple[int, ...] = (200, 400, 800, 1200, 1600)
+    # Optional per-bucket label-length caps (same length as the boundaries).
+    # Short-utterance buckets then run a SHORTER decoder scan — the decoder
+    # horizon is the second-largest sequential axis, so capping it buys real
+    # step time on short buckets.  None = every bucket pads labels to
+    # max_label_length (reference behavior).  Labels longer than the cap are
+    # truncated, exactly as max_label_length already truncates.
+    label_bucket_caps: Optional[Tuple[int, ...]] = None
     video_fps: float = 25.0
     max_audio_seconds: float = 16.0
     max_label_length: int = 150

@@ -105,13 +105,20 @@ class BucketingLoader:
 
     def _compute_bucket_shapes(self) -> Dict[int, BucketShape]:
         bounds = list(self.cfg.audio_bucket_boundaries)
+        caps = self.cfg.label_bucket_caps
+        if caps is not None and len(caps) != len(bounds):
+            raise ValueError(
+                f"label_bucket_caps ({len(caps)}) must match "
+                f"audio_bucket_boundaries ({len(bounds)})"
+            )
         shapes = {}
         max_label = self.cfg.max_label_length
         for i, b in enumerate(bounds):
             samples = (b - 1) * self.frame_step + self.frame_length
             # video runs at cfg.video_fps; audio frames at 100 Hz
             vframes = int(np.ceil(b * self.cfg.video_fps / 100.0)) + 1
-            shapes[i] = BucketShape(samples, vframes, max_label)
+            label_len = max_label if caps is None else min(caps[i], max_label)
+            shapes[i] = BucketShape(samples, vframes, label_len)
         return shapes
 
     def bucket_shapes(self) -> Dict[int, BucketShape]:

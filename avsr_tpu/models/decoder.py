@@ -178,14 +178,13 @@ def teacher_forced_logits(
     if train_dropout:
         # Variational dropout: one fixed [B, H] mask per layer for the whole
         # sequence (applied to each step's LSTM output).
+        from avsr_tpu.utils.rng import dropout_mask
+
         keep = 1.0 - cfg.dropout_rate
         masks = []
         for h_units in cfg.hidden_units:
             rng, sub = jax.random.split(rng)
-            masks.append(
-                jax.random.bernoulli(sub, keep, (B, h_units)).astype(jnp.float32)
-                / keep
-            )
+            masks.append(dropout_mask(sub, keep, (B, h_units)))
         dropout_masks = tuple(masks)
 
     # Remat the step body: its dominant backward residual is the per-step

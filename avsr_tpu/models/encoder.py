@@ -87,13 +87,13 @@ def encoder_apply(
         if use_rd:
             # Variational recurrent dropout: one fixed [B, H] mask per
             # layer/direction, applied to the recurrent input every step.
+            from avsr_tpu.utils.rng import dropout_mask
+
             keep = 1.0 - cfg.recurrent_dropout_rate
             H = layer["fwd"]["wh"].shape[0]
             dropout_rng, k1, k2 = jax.random.split(dropout_rng, 3)
-            mk = lambda k: (
-                jax.random.bernoulli(k, keep, (B, H)).astype(jnp.float32) / keep
-            )
-            rd_masks = (mk(k1), mk(k2))
+            rd_masks = (dropout_mask(k1, keep, (B, H)),
+                        dropout_mask(k2, keep, (B, H)))
         if cfg.bidirectional:
             h, final_state = rnn.bidirectional_scan(
                 cfg.cell_type, layer["fwd"], layer["bwd"], h, mask,
@@ -120,10 +120,13 @@ def encoder_apply(
             )
             h = t * h + (1.0 - t) * prev
         if train and cfg.dropout_rate > 0.0 and dropout_rng is not None:
+            from avsr_tpu.utils.rng import dropout_mask
+
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = 1.0 - cfg.dropout_rate
-            drop_mask = jax.random.bernoulli(sub, keep, h.shape).astype(h.dtype)
-            h = h * drop_mask / keep
+            # hardware-RNG (rbg) mask bits: these [T, B, H] draws are the
+            # train step's largest RNG cost (utils/rng.py, 4x faster)
+            h = h * dropout_mask(sub, keep, h.shape, h.dtype)
     # Re-zero padded steps (residual/dropout can reintroduce nonzeros).
     h = h * mask[:, :, None]
     return h, final_state

@@ -241,9 +241,8 @@ def _lstm_scan_core_bwd(compute_dtype, res, cot):
     whT_c = wh.T.astype(compute_dtype)
 
     def body(carry, inp):
-        dh_out, dc_out, dwh_acc, db_acc = carry
+        dh_out, dc_out, db_acc = carry
         xw_t, m_t, h_prev_s, c_prev_s, dys_t = inp
-        h_prev = h_prev_s.astype(jnp.float32)
         c_prev = c_prev_s.astype(jnp.float32)
         m = m_t[:, None]
         # recompute forward gates for this step
@@ -284,20 +283,22 @@ def _lstm_scan_core_bwd(compute_dtype, res, cot):
             jnp.dot(dgates_c, whT_c, preferred_element_type=jnp.float32)
             + dh_prev_direct
         )
-        dwh_acc = dwh_acc + jnp.dot(
-            h_prev_s.T, dgates_c, preferred_element_type=jnp.float32
-        )
         db_acc = db_acc + jnp.sum(dgates, axis=0)
-        return (dh_prev, dc_prev, dwh_acc, db_acc), dgates_c
+        return (dh_prev, dc_prev, db_acc), dgates_c
 
     carry0 = (
         dhT.astype(jnp.float32),
         dcT.astype(jnp.float32),
-        jnp.zeros_like(wh, jnp.float32),
         jnp.zeros_like(b, jnp.float32),
     )
-    (dh0, dc0, dwh, db), dxw = jax.lax.scan(
+    (dh0, dc0, db), dxw = jax.lax.scan(
         body, carry0, (xw, mask, h_res, c_res, dys), reverse=True
+    )
+    # dWh hoisted OUT of the scan: dxw IS dgates, so the per-step
+    # [H,B]x[B,4H] accumulation (plus its [H,4H] fp32 carry) collapses into
+    # one large MXU matmul over all timesteps — same math, f32-accumulated.
+    dwh = jnp.einsum(
+        "tbh,tbk->hk", h_res, dxw, preferred_element_type=jnp.float32
     )
     return (
         dwh.astype(wh.dtype),
@@ -309,6 +310,151 @@ def _lstm_scan_core_bwd(compute_dtype, res, cot):
 
 
 _lstm_scan_core.defvjp(_lstm_scan_core_fwd, _lstm_scan_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-direction BiLSTM custom-VJP core
+#
+# The per-step cost of these scans is LATENCY-bound, not FLOP-bound (measured
+# on v5e: a lone [128,256]x[256,1024] step and a G=2-batched step cost nearly
+# the same — tools/bench_lstm_pallas.py / RESULTS.md).  Running BOTH BiLSTM
+# directions inside ONE scan therefore halves each layer's sequential depth
+# for free.  Round 1 had the fused forward (fused_bilstm_scan) and the
+# custom VJP separately but never together; this core combines them: G=2
+# batched gate matmuls in the forward scan AND in the hand-written backward
+# scan (bf16 residuals, gate recompute — same contract as _lstm_scan_core).
+# ---------------------------------------------------------------------------
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _bilstm_scan_core(wh, b, xw, mask, init, compute_dtype):
+    """(ys, hT, cT) for a direction-batched masked LSTM scan.
+
+    Args: wh [2,H,4H], b [2,4H], xw [T,2,B,4H] (backward direction's stream
+    pre-flipped in time), mask [T,2,B] fp32, init (h0, c0) [2,B,H] fp32.
+    """
+    (ys, hT, cT), _ = _bilstm_scan_core_fwd_impl(wh, b, xw, mask, init,
+                                                 compute_dtype, save=False)
+    return ys, hT, cT
+
+
+def _bilstm_scan_core_fwd_impl(wh, b, xw, mask, init, compute_dtype, save):
+    h0, c0 = init
+    wh_c = wh.astype(compute_dtype)
+    b_e = b[:, None, :]
+
+    def body(carry, inp):
+        h, c = carry                                      # [2, B, H]
+        xw_t, m_t = inp                                   # [2, B, 4H], [2, B]
+        gates = (
+            xw_t.astype(jnp.float32)
+            + jnp.einsum("gbh,ghk->gbk", h.astype(compute_dtype), wh_c,
+                         preferred_element_type=jnp.float32)
+            + b_e
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = m_t[..., None]
+        h_out = m * h_new + (1.0 - m) * h
+        c_out = m * c_new + (1.0 - m) * c
+        outs = (h_new * m).astype(compute_dtype)
+        if save:
+            outs = (outs, h.astype(compute_dtype), c.astype(compute_dtype))
+        return (h_out, c_out), outs
+
+    (hT, cT), ys = jax.lax.scan(body, (h0, c0), (xw, mask))
+    if save:
+        ys, h_res, c_res = ys
+        return (ys, hT, cT), (h_res, c_res)
+    return (ys, hT, cT), None
+
+
+def _bilstm_scan_core_fwd(wh, b, xw, mask, init, compute_dtype):
+    out, (h_res, c_res) = _bilstm_scan_core_fwd_impl(
+        wh, b, xw, mask, init, compute_dtype, save=True
+    )
+    return out, (wh, b, xw, mask, h_res, c_res)
+
+
+def _bilstm_scan_core_bwd(compute_dtype, res, cot):
+    wh, b, xw, mask, h_res, c_res = res
+    dys, dhT, dcT = cot
+    wh_c = wh.astype(compute_dtype)
+    b_e = b[:, None, :]
+
+    def body(carry, inp):
+        dh_out, dc_out, db_acc = carry
+        xw_t, m_t, h_prev_s, c_prev_s, dys_t = inp
+        c_prev = c_prev_s.astype(jnp.float32)
+        m = m_t[..., None]
+        gates = (
+            xw_t.astype(jnp.float32)
+            + jnp.einsum("gbh,ghk->gbk", h_prev_s, wh_c,
+                         preferred_element_type=jnp.float32)
+            + b_e
+        )
+        gi, gf, gg, go = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(gi), jax.nn.sigmoid(gf), jax.nn.sigmoid(go)
+        g = jnp.tanh(gg)
+        c_new = f * c_prev + i * g
+        tc = jnp.tanh(c_new)
+
+        dh_new = (dh_out + dys_t.astype(jnp.float32)) * m
+        dh_prev_direct = dh_out * (1.0 - m)
+        dc_new = dc_out * m
+        dc_prev_direct = dc_out * (1.0 - m)
+
+        do = dh_new * tc
+        dc_new = dc_new + dh_new * o * (1.0 - tc * tc)
+        df = dc_new * c_prev
+        di = dc_new * g
+        dg = dc_new * i
+        dc_prev = dc_new * f + dc_prev_direct
+
+        dgates = jnp.concatenate(
+            [
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=-1,
+        )
+        dgates_c = dgates.astype(compute_dtype)
+        dh_prev = (
+            jnp.einsum("gbk,ghk->gbh", dgates_c, wh_c,
+                       preferred_element_type=jnp.float32)
+            + dh_prev_direct
+        )
+        db_acc = db_acc + jnp.sum(dgates, axis=1)
+        return (dh_prev, dc_prev, db_acc), dgates_c
+
+    carry0 = (
+        dhT.astype(jnp.float32),
+        dcT.astype(jnp.float32),
+        jnp.zeros_like(b, jnp.float32),
+    )
+    (dh0, dc0, db), dxw = jax.lax.scan(
+        body, carry0, (xw, mask, h_res, c_res, dys), reverse=True
+    )
+    # dWh hoisted OUT of the scan (see _lstm_scan_core_bwd): one big
+    # direction-batched MXU matmul over all timesteps.
+    dwh = jnp.einsum(
+        "tgbh,tgbk->ghk", h_res, dxw, preferred_element_type=jnp.float32
+    )
+    return (
+        dwh.astype(wh.dtype),
+        db.astype(b.dtype),
+        dxw.astype(xw.dtype),
+        jnp.zeros_like(mask),
+        (dh0, dc0),
+    )
+
+
+_bilstm_scan_core.defvjp(_bilstm_scan_core_fwd, _bilstm_scan_core_bwd)
 
 # Toggle for the custom-VJP path (plain LSTM, no LN, no recurrent dropout).
 USE_CUSTOM_VJP = True
@@ -478,6 +624,24 @@ def fused_bilstm_scan(
     xw = jnp.stack([xw_f, jnp.flip(xw_b, axis=0)], axis=1)         # [T, 2, B, 4H]
     mask2 = jnp.stack([mask_tb, jnp.flip(mask_tb, axis=0)], axis=1)  # [T, 2, B]
 
+    if (
+        USE_CUSTOM_VJP
+        and recurrent_dropout_masks is None
+        and unroll == 1
+        and "ln_gamma" not in params_fwd
+    ):
+        wh2 = jnp.stack([params_fwd["wh"], params_bwd["wh"]], axis=0)
+        b2 = jnp.stack([params_fwd["b"], params_bwd["b"]], axis=0)
+        h0 = jnp.zeros((2, B, H), jnp.float32)
+        c0 = jnp.zeros((2, B, H), jnp.float32)
+        ys, hT, cT = _bilstm_scan_core(
+            wh2, b2, xw, mask2, (h0, c0), compute_dtype
+        )
+        ys_f = ys[:, 0]
+        ys_b = jnp.flip(ys[:, 1], axis=0)
+        out = jnp.concatenate([ys_f, ys_b], axis=-1)
+        return out, ((hT[0], cT[0]), (hT[1], cT[1]))
+
     wh = jnp.stack(
         [params_fwd["wh"], params_bwd["wh"]], axis=0
     ).astype(compute_dtype)                                        # [2, H, 4H]
@@ -531,14 +695,13 @@ def bidirectional_scan(
     padding is on the right and padded steps carry state through, the
     backward pass correctly starts at each utterance's true last frame.
     """
-    # Plain LSTM without the custom VJP: take the fused single-scan path
-    # (one sequential loop for both directions).  With USE_CUSTOM_VJP the
-    # two-scan path wins — each direction runs through the hand-written
-    # backward (fused vs two-scan forward perf was a wash; see CLAUDE.md).
-    if (
-        cell_type == "lstm" and "ln_gamma" not in params_fwd
-        and not USE_CUSTOM_VJP
-    ):
+    # Plain LSTM: take the fused single-scan path — one sequential loop
+    # computes BOTH directions.  Per-step cost is latency-bound at this
+    # size, so halving the sequential depth beats two scans even though the
+    # per-step matmul doubles; with USE_CUSTOM_VJP the fused core's
+    # hand-written backward (G=2-batched gate recompute) keeps the same
+    # advantage in the backward scan.  Measured in RESULTS.md.
+    if cell_type == "lstm" and "ln_gamma" not in params_fwd:
         return fused_bilstm_scan(
             params_fwd, params_bwd, x_tbd, mask_tb,
             compute_dtype=compute_dtype, unroll=unroll,

@@ -251,3 +251,43 @@ def test_jit_vs_nojit(rng):
         np.asarray(jax.jit(f)(params, x, mask)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_fused_bilstm_custom_vjp_grads_match_two_scan(rng):
+    """The direction-fused BiLSTM custom VJP must match the two-scan
+    custom-VJP path on values AND grads (masked, both directions)."""
+    T, B, D, H = 7, 3, 4, 5
+    pf = rnn.lstm_init(jax.random.PRNGKey(21), D, H)
+    pb = rnn.lstm_init(jax.random.PRNGKey(22), D, H)
+    x = jnp.asarray(rng.standard_normal((T, B, D)).astype(np.float32))
+    mask = np.ones((T, B), np.float32)
+    mask[4:, 0] = 0.0
+    mask[6:, 2] = 0.0
+    mask = jnp.asarray(mask)
+
+    def loss(params, fused):
+        pf_, pb_ = params
+        if fused:
+            ys, (sf, sb) = rnn.fused_bilstm_scan(
+                pf_, pb_, x, mask, compute_dtype=jnp.float32
+            )
+        else:
+            ys_f, sf = rnn.lstm_scan(pf_, x, mask, compute_dtype=jnp.float32)
+            ys_b, sb = rnn.lstm_scan(pb_, x, mask, reverse=True,
+                                     compute_dtype=jnp.float32)
+            ys = jnp.concatenate([ys_f, ys_b], axis=-1)
+        w = jnp.arange(ys.size, dtype=jnp.float32).reshape(ys.shape) / ys.size
+        return (jnp.sum(ys * w) + jnp.sum(sf[0] * 0.7) + jnp.sum(sf[1])
+                + jnp.sum(sb[0] * 1.3) + jnp.sum(sb[1] * 0.5))
+
+    v_two = float(loss((pf, pb), False))
+    v_fused = float(loss((pf, pb), True))
+    np.testing.assert_allclose(v_fused, v_two, rtol=1e-5)
+    g_two = jax.grad(lambda p: loss(p, False))((pf, pb))
+    g_fused = jax.grad(lambda p: loss(p, True))((pf, pb))
+    for gt, gf in zip(g_two, g_fused):
+        for k in gt:
+            np.testing.assert_allclose(
+                np.asarray(gf[k]), np.asarray(gt[k]),
+                rtol=1e-4, atol=1e-5, err_msg=k,
+            )
