@@ -77,6 +77,12 @@ class Trainer:
             keep=cfg.train.keep_checkpoints,
         )
         self.epoch = 0
+        # Host-side mirror of state.step: reading int(self.state.step) every
+        # step would force a per-step device sync (the relay charges ~27 ms
+        # per sync — CLAUDE.md timing notes) and serialize dispatch; the step
+        # advances by exactly 1 per train_step call, so the host can track it
+        # without ever touching the device.
+        self._host_step = 0
         self._data_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         # jitted decode/eval fns cached per cfg: evaluate() runs every epoch
         # (and once per noise condition) and a fresh jit each call would
@@ -94,6 +100,7 @@ class Trainer:
             return False
         self.state, extra, step = self.ckpt.restore(self.state)
         self.epoch = int(extra.get("epoch", 0)) if extra else 0
+        self._host_step = int(step)
         self.logger.info(f"restored checkpoint at step {step}, epoch {self.epoch}")
         return True
 
@@ -117,13 +124,19 @@ class Trainer:
             losses: List[float] = []
             from avsr_tpu.data.loader import prefetch
 
-            for bucket, np_batch in prefetch(self.train_loader.epoch()):
-                batch = to_model_batch(np_batch)
-                batch = self._place(batch)
+            def device_batches():
+                # Batch assembly AND the host->device transfer both happen on
+                # the prefetch thread: jax.device_put is async, so the next
+                # batch streams into HBM while the current step computes.
+                for bucket, np_batch in self.train_loader.epoch():
+                    yield bucket, np_batch, self._place(to_model_batch(np_batch))
+
+            for bucket, np_batch, batch in prefetch(device_batches()):
                 self.state, metrics = self.train_step(
                     self.state, batch, self._data_rng
                 )
-                step_i = int(self.state.step)
+                self._host_step += 1
+                step_i = self._host_step
                 if np_batch.get("audio_lengths") is not None:
                     frames += int(np.sum(np_batch["audio_lengths"]) // 160)
                 elif np_batch.get("video_lengths") is not None:
@@ -149,14 +162,16 @@ class Trainer:
             self.logger.info(
                 f"epoch {self.epoch}: {dt:.1f}s, {fps:.0f} frames/s"
             )
-            self.ckpt.save(int(self.state.step), self.state, {"epoch": self.epoch})
+            self.ckpt.save(self._host_step, self.state, {"epoch": self.epoch})
             if self.eval_loader is not None and self.epoch % evaluate_every == 0:
                 last_metrics = self.evaluate(epoch=self.epoch)
         return last_metrics
 
     def _place(self, batch):
         if self.mesh is None:
-            return batch
+            # Async transfer to the default device; without this, jit would
+            # do a blocking transfer at dispatch time on the main thread.
+            return jax.device_put(batch)
         from avsr_tpu.parallel.mesh import shard_batch
 
         return shard_batch(self.mesh, batch)
