@@ -190,6 +190,13 @@ class BucketingLoader:
                 n = min(len(w), S)
                 wav[j, :n] = w[:n]
                 wlen[j] = n
+            if self.cfg.transfer_dtype == "compact":
+                # int16 PCM transfer: x32767 inverts load_wav's /32767, so
+                # data that originated as 16-bit PCM round-trips bit-exactly;
+                # the device dequantizes inside the jitted step.
+                wav = np.clip(
+                    np.round(wav * 32767.0), -32768, 32767
+                ).astype(np.int16)
             out["audio"] = wav
             out["audio_lengths"] = wlen
 
@@ -205,6 +212,17 @@ class BucketingLoader:
                     n = min(v.shape[0], T)
                     vid[j, :n] = v[:n]
                     vlen[j] = n
+                if self.cfg.transfer_dtype == "compact":
+                    # uint8 ROI transfer (round(v*255), the TFRecord uint8
+                    # codec); device dequantizes with /255.  Requires [0, 1]
+                    # crops — fail loudly rather than silently clip.
+                    lo, hi = float(vid.min()), float(vid.max())
+                    if lo < 0.0 or hi > 1.0:
+                        raise ValueError(
+                            "data.transfer_dtype='compact' requires video in "
+                            f"[0, 1]; batch has range [{lo:g}, {hi:g}]"
+                        )
+                    vid = np.round(vid * 255.0).astype(np.uint8)
             else:  # AU feature path
                 au_dim = first.au.shape[1]
                 vid = np.zeros((B, T, au_dim), np.float32)

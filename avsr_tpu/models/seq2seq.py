@@ -154,6 +154,10 @@ def encode(
 
     if arch in ("audio", "av_align", "bimodal"):
         wav, wav_len = batch.audio, batch.audio_lengths
+        if wav.dtype == jnp.int16:
+            # compact-transfer PCM (data.transfer_dtype; loader quantized
+            # with x32767) — dequantize on device, fused into the frontend.
+            wav = wav.astype(jnp.float32) / 32767.0
         if noise_bank is not None:
             if train and cfg.noise.enabled:
                 wav = noise_ops.sample_and_mix(
@@ -197,8 +201,12 @@ def encode(
         aux["audio_feature_lengths"] = feat_len
 
     if arch in ("video", "av_align", "bimodal"):
+        video = batch.video
+        if video.dtype == jnp.uint8:
+            # compact-transfer ROI crops (loader quantized with round(x*255))
+            video = video.astype(jnp.float32) / 255.0
         v_emb, v_len = video_cnn.video_cnn_apply(
-            params["video_frontend"], cfg.video, batch.video,
+            params["video_frontend"], cfg.video, video,
             batch.video_lengths, compute_dtype=cdt,
         )
         v_tb = jnp.transpose(v_emb, (1, 0, 2))

@@ -119,3 +119,44 @@ def test_label_bucket_caps_length_mismatch_raises():
 
     with pytest.raises(ValueError, match="label_bucket_caps"):
         make_loader(label_bucket_caps=(5, 6))
+
+
+def test_compact_transfer_assembly_dtypes_and_padding():
+    import dataclasses
+
+    loader, utts, _ = make_loader(transfer_dtype="compact")
+    # real ROI crops are pixel data in [0, 1]; the synthetic generator adds
+    # noise outside that range, so clip to model the real pipeline
+    loader.utts = [
+        dataclasses.replace(u, video=np.clip(u.video, 0.0, 1.0)) for u in utts
+    ]
+    for _, batch in loader.epoch(shuffle=False):
+        assert batch["audio"].dtype == np.int16
+        assert batch["video"].dtype == np.uint8
+        for j in range(batch["num_real"]):
+            n = batch["audio_lengths"][j]
+            assert np.all(batch["audio"][j, n:] == 0)
+            t = batch["video_lengths"][j]
+            assert np.all(batch["video"][j, t:] == 0)
+
+
+def test_compact_transfer_rejects_out_of_range_video():
+    import pytest
+
+    from avsr_tpu.data.synthetic import Utterance
+
+    utt = Utterance(
+        uid="u0", transcript="ab",
+        waveform=np.zeros(4000, np.float32),
+        video=np.full((5, 12, 12, 1), 2.0, np.float32),
+    )
+    cfg = DataConfig(
+        batch_size=1, audio_bucket_boundaries=(40,), max_label_length=8,
+        transfer_dtype="compact",
+    )
+    loader = BucketingLoader(
+        [utt], builtin_unit_dict("character"), cfg,
+        require_audio=True, require_video=True,
+    )
+    with pytest.raises(ValueError, match="requires video in"):
+        list(loader.epoch(shuffle=False))

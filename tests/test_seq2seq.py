@@ -139,3 +139,23 @@ def test_noise_mixing_in_training_path(rng):
     l_noisy, _ = seq2seq.loss_fn(params, cfg, batch, train=True,
                                  rng=jax.random.PRNGKey(0), noise_bank=bank)
     assert float(l_clean) != pytest.approx(float(l_noisy))
+
+
+def test_compact_transfer_loss_matches_fp32(rng):
+    """int16 audio + uint8 video dequantized on device produce the SAME
+    loss as the fp32 path when the inputs already sit on the quantization
+    grids (every real corpus: 16-bit PCM wavs, uint8-coded ROI records)."""
+    cfg = tiny_config("av_align")
+    params = seq2seq.model_init(jax.random.PRNGKey(0), cfg, VOCAB)
+    B, S, Tv, K = 2, 4000, 10, 6
+    wav_i = rng.integers(-32768, 32768, (B, S)).astype(np.int16)
+    vid_u = rng.integers(0, 256, (B, Tv, 12, 12, 1)).astype(np.uint8)
+    base = tiny_batch("av_align", rng, B=B, S=S, Tv=Tv, K=K)
+    fp = base._replace(
+        audio=jnp.asarray(wav_i.astype(np.float32) / 32767.0),
+        video=jnp.asarray(vid_u.astype(np.float32) / 255.0),
+    )
+    compact = base._replace(audio=jnp.asarray(wav_i), video=jnp.asarray(vid_u))
+    l_fp, _ = seq2seq.loss_fn(params, cfg, fp, train=False)
+    l_c, _ = seq2seq.loss_fn(params, cfg, compact, train=False)
+    np.testing.assert_allclose(float(l_fp), float(l_c), rtol=1e-6)
