@@ -124,6 +124,13 @@ class BucketingLoader:
     def bucket_shapes(self) -> Dict[int, BucketShape]:
         return dict(self._bucket_shapes)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch counter so the NEXT ``epoch()`` call reproduces the
+        shuffle order of training epoch ``epoch`` (orders are deterministic
+        in ``seed + epoch``) — used by checkpoint restore to resume the
+        data iterator mid-epoch."""
+        self._epoch = int(epoch)
+
     # -- iteration ----------------------------------------------------------
 
     def __len__(self) -> int:

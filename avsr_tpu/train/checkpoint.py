@@ -4,10 +4,10 @@ The reference's entire fault-tolerance story is ``tf.train.Saver`` per-epoch
 saves plus a ``try_restore_latest_checkpoint`` flag (SURVEY.md §5.3-5.4).
 This module supplies the equivalent with orbax CheckpointManager: atomic
 writes, keep-N retention, save per epoch and per K steps, and bit-exact
-resume of params + optimizer state + step (plus side metadata such as the
-epoch counter; tested in tests/test_train_loop.py).  Resume granularity is
-per-save, matching the reference: a mid-epoch restart replays the epoch from
-its start — the data-iterator position is NOT checkpointed.
+resume of params + optimizer state + step.  The data-iterator position
+(epoch + batches consumed in it) rides in the side metadata: a mid-epoch
+restart fast-forwards the deterministic loader and continues bit-exactly
+identical to an uninterrupted run (tested in tests/test_train_loop.py).
 """
 
 from __future__ import annotations
@@ -41,8 +41,13 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
         }
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
-        self._mgr.wait_until_finished()
+        if step not in self._mgr.all_steps():
+            self._mgr.save(step, args=ocp.args.StandardSave(payload))
+            self._mgr.wait_until_finished()
+        # else: same optimizer step already saved (e.g. a per-K-steps save
+        # colliding with the epoch-end save); the tensor payload is
+        # identical, but refresh the side metadata below (the epoch-end
+        # extra carries the advanced epoch / reset iterator position).
         if extra:  # side metadata (epoch, data-iterator position, rng seed)
             import json
 

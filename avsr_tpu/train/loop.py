@@ -83,6 +83,10 @@ class Trainer:
         # advances by exactly 1 per train_step call, so the host can track it
         # without ever touching the device.
         self._host_step = 0
+        # Batches already consumed in the in-progress epoch at restore time
+        # (data-iterator state, SURVEY §5.4): train() fast-forwards past them
+        # so a mid-epoch resume continues bit-exactly instead of replaying.
+        self._resume_batches = 0
         self._data_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         # jitted decode/eval fns cached per cfg: evaluate() runs every epoch
         # (and once per noise condition) and a fresh jit each call would
@@ -95,14 +99,28 @@ class Trainer:
     def try_restore_latest_checkpoint(self) -> bool:
         """Resume from the newest checkpoint if one exists (parity with the
         reference's train(try_restore_latest_checkpoint=True) flag)."""
-        step = self.ckpt.latest_step()
-        if step is None:
+        if self.ckpt.latest_step() is None:
             return False
-        self.state, extra, step = self.ckpt.restore(self.state)
-        self.epoch = int(extra.get("epoch", 0)) if extra else 0
-        self._host_step = int(step)
-        self.logger.info(f"restored checkpoint at step {step}, epoch {self.epoch}")
+        self.restore_checkpoint()
         return True
+
+    def restore_checkpoint(self, step: Optional[int] = None) -> int:
+        """Restore params/opt-state/step plus the data-iterator position
+        (epoch + batches consumed in it); ``step=None`` = latest.  Training
+        then continues bit-exactly identical to an uninterrupted run: the
+        loader's shuffle order is deterministic in (seed, epoch) and every
+        in-step rng is folded from the restored ``state.step``."""
+        self.state, extra, step = self.ckpt.restore(self.state, step=step)
+        self.epoch = int(extra.get("epoch", 0)) if extra else 0
+        self._resume_batches = int(extra.get("batches_done", 0)) if extra else 0
+        self._host_step = int(step)
+        self.train_loader.set_epoch(self.epoch)
+        self.logger.info(
+            f"restored checkpoint at step {step}, epoch {self.epoch}"
+            + (f" (+{self._resume_batches} batches)"
+               if self._resume_batches else "")
+        )
+        return int(step)
 
     def train(
         self,
@@ -124,11 +142,20 @@ class Trainer:
             losses: List[float] = []
             from avsr_tpu.data.loader import prefetch
 
+            skip = self._resume_batches
+            self._resume_batches = 0
+            batches_done = skip
+
             def device_batches():
                 # Batch assembly AND the host->device transfer both happen on
                 # the prefetch thread: jax.device_put is async, so the next
                 # batch streams into HBM while the current step computes.
-                for bucket, np_batch in self.train_loader.epoch():
+                for i, (bucket, np_batch) in enumerate(self.train_loader.epoch()):
+                    if i < skip:
+                        # fast-forward to the checkpointed iterator position
+                        # (one-time assembly cost at resume; nothing is
+                        # transferred or stepped)
+                        continue
                     yield bucket, np_batch, self._place(to_model_batch(np_batch))
 
             for bucket, np_batch, batch in prefetch(device_batches()):
@@ -136,6 +163,7 @@ class Trainer:
                     self.state, batch, self._data_rng
                 )
                 self._host_step += 1
+                batches_done += 1
                 step_i = self._host_step
                 if np_batch.get("audio_lengths") is not None:
                     frames += int(np.sum(np_batch["audio_lengths"]) // 160)
@@ -152,7 +180,10 @@ class Trainer:
                     cfg.train.save_every_steps
                     and step_i % cfg.train.save_every_steps == 0
                 ):
-                    self.ckpt.save(step_i, self.state, {"epoch": self.epoch})
+                    self.ckpt.save(
+                        step_i, self.state,
+                        {"epoch": self.epoch, "batches_done": batches_done},
+                    )
             self.epoch += 1
             dt = time.time() - t_epoch
             fps = frames / max(dt, 1e-9)
@@ -162,7 +193,11 @@ class Trainer:
             self.logger.info(
                 f"epoch {self.epoch}: {dt:.1f}s, {fps:.0f} frames/s"
             )
-            self.ckpt.save(self._host_step, self.state, {"epoch": self.epoch})
+            # epoch boundary: iterator state resets (batches_done = 0)
+            self.ckpt.save(
+                self._host_step, self.state,
+                {"epoch": self.epoch, "batches_done": 0},
+            )
             if self.eval_loader is not None and self.epoch % evaluate_every == 0:
                 last_metrics = self.evaluate(epoch=self.epoch)
         return last_metrics

@@ -181,3 +181,43 @@ def test_overfit_video(tmp_path, data):
     summary = avsr.evaluate(use_beam=False)
     # visual-only is harder; require clear learning, not perfection
     assert summary["cer"] < 0.5, summary
+
+
+def test_midepoch_resume_bit_exact(tmp_path, data):
+    """Data-iterator state is checkpointed (SURVEY §5.4): restoring a
+    MID-epoch checkpoint and finishing training produces params bit-exactly
+    identical to the uninterrupted run (same shuffle order, same remaining
+    batches, same per-step rng folds)."""
+    import dataclasses
+    import shutil
+
+    cfg = overfit_config("audio", str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, num_epochs=2, save_every_steps=1,
+            keep_checkpoints=10, eval_every_epochs=100,
+        ),
+    )
+    run_a = str(tmp_path / "runA")
+    a = AVSR(config=cfg, run_dir=run_a, train_utterances=data,
+             eval_utterances=data)
+    a.train(num_epochs=2)  # 16 utts / batch 8 = 2 batches/epoch -> 4 steps
+    p_full = a.trainer.state.params
+    assert int(a.trainer.state.step) == 4
+
+    # resume from step 3 = epoch 1 in progress, 1 batch consumed
+    run_b = str(tmp_path / "runB")
+    shutil.copytree(os.path.join(run_a, cfg.train.checkpoint_dir),
+                    os.path.join(run_b, cfg.train.checkpoint_dir))
+    b = AVSR(config=cfg, run_dir=run_b, train_utterances=data,
+             eval_utterances=data)
+    restored = b.trainer.restore_checkpoint(step=3)
+    assert restored == 3
+    assert b.trainer.epoch == 1
+    assert b.trainer._resume_batches == 1
+    b.train(num_epochs=2)  # exactly one remaining batch
+    assert int(b.trainer.state.step) == 4
+    for x, y in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(b.trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
