@@ -7,7 +7,11 @@ path (tf.contrib.seq2seq; SURVEY.md §2.3 row 4, §3.2) as pure JAX:
     is one batched MXU pass over all beams;
   * candidate expansion is ``lax.top_k`` over the W*V score matrix;
   * beam-state reshuffling is a device-side gather on the DecoderState pytree;
-  * finished beams continue with EOS-only, zero-added-score candidates;
+  * finished beams continue with EOS-only, zero-added-score candidates, and
+    the whole loop EARLY-EXITS (``lax.while_loop``) once every beam of every
+    batch row has finished — results are identical to the full-horizon scan
+    (remaining steps would only append zero-score EOS), but real corpora
+    finish far below the static max_decode_length horizon;
   * Google-NMT length normalization ((5+len)/6)^alpha is applied to the
     scores used for top-k, matching TF1 BeamSearchDecoder semantics;
   * the (token, parent) trellis is recorded per step and the winning
@@ -37,6 +41,7 @@ class BeamResult(NamedTuple):
     ids: jnp.ndarray      # [B, L] best hypothesis, PAD after EOS
     lengths: jnp.ndarray  # [B] tokens incl. EOS
     scores: jnp.ndarray   # [B] length-normalized log prob of the winner
+    steps: jnp.ndarray    # [] decode steps actually executed (early exit)
 
 
 def _length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
@@ -86,8 +91,30 @@ def beam_search(
 
     batch_offset = (jnp.arange(B, dtype=jnp.int32) * W)[:, None]  # [B, 1]
 
-    def step(carry, _):
-        state, tok, logp, finished, lens = carry
+    # Trellis buffers, pre-filled with the no-op continuation (token = EOS,
+    # parent = self): steps the early-exit loop never executes then read as
+    # "every beam keeps feeding EOS", exactly what the full-length scan
+    # would have recorded once all beams finished, so the backtrack and the
+    # first-EOS cut below are unchanged.
+    tokens_buf0 = jnp.full((max_length, B, W), EOS_ID, jnp.int32)
+    parents_buf0 = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[None, None, :], (max_length, B, W)
+    )
+
+    def cond(carry):
+        t, _, _, logp, finished, _, _, _ = carry
+        # Early exit once every beam of every row is finished OR dead
+        # (score still ~NEG_INF: a slot the candidate tree hasn't reached).
+        # Dead slots only get resurrected by a LIVE unfinished parent's
+        # expansion, so finished-or-dead everywhere is a fixed point: the
+        # remaining steps would only re-append zero-score EOS continuations
+        # (TF1 dynamic_decode semantics).  On real corpora typical
+        # hypothesis lengths are far below the static horizon.
+        settled = jnp.logical_or(finished, logp < NEG_INF / 2)
+        return jnp.logical_and(t < max_length, ~jnp.all(settled))
+
+    def step(carry):
+        t, state, tok, logp, finished, lens, tokens_buf, parents_buf = carry
         state, logits = dec.decoder_step(
             params, cfg, tok.reshape(B * W), state, tiled,
             compute_dtype=compute_dtype,
@@ -132,13 +159,21 @@ def beam_search(
         new_state = jax.tree_util.tree_map(lambda x: x[flat_parent], state)
 
         feed = jnp.where(was_finished, EOS_ID, token)
-        return (
-            (new_state, feed, new_logp, new_finished, new_lens),
-            (token, parent),
+        tokens_buf = jax.lax.dynamic_update_index_in_dim(
+            tokens_buf, token, t, 0
         )
+        parents_buf = jax.lax.dynamic_update_index_in_dim(
+            parents_buf, parent, t, 0
+        )
+        return (t + 1, new_state, feed, new_logp, new_finished, new_lens,
+                tokens_buf, parents_buf)
 
-    (_, _, logp_f, finished_f, lens_f), (tokens_t, parents_t) = jax.lax.scan(
-        step, (state0, tok0, logp0, finished0, len0), None, length=max_length
+    (steps_f, _, _, logp_f, finished_f, lens_f, tokens_t, parents_t) = (
+        jax.lax.while_loop(
+            cond, step,
+            (jnp.zeros((), jnp.int32), state0, tok0, logp0, finished0, len0,
+             tokens_buf0, parents_buf0),
+        )
     )
     # tokens_t/parents_t: [L, B, W]
 
@@ -175,4 +210,6 @@ def beam_search(
     cut = jnp.where(any_eos, first_eos, L - 1)
     ids = jnp.where(pos > cut, PAD_ID, ids)
 
-    return BeamResult(ids=ids, lengths=best_len, scores=best_score)
+    return BeamResult(
+        ids=ids, lengths=best_len, scores=best_score, steps=steps_f
+    )

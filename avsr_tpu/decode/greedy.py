@@ -1,8 +1,10 @@
 """Greedy decoding (GreedyEmbeddingHelper equivalent).
 
 The reference uses ``GreedyEmbeddingHelper`` for training-time eval decode
-(SURVEY.md §2.2 row 5).  Single ``lax.scan`` over a static horizon; once a
-sequence emits EOS it keeps emitting PAD.
+(SURVEY.md §2.2 row 5).  Single ``lax.while_loop`` over a static-shape
+output buffer with EARLY EXIT once every sequence in the batch has emitted
+EOS (the TF1 ``dynamic_decode`` behavior); once a sequence emits EOS it
+keeps emitting PAD.
 """
 
 from __future__ import annotations
@@ -33,8 +35,18 @@ def greedy_decode(
     tok0 = jnp.full((B,), GO_ID, jnp.int32)
     done0 = jnp.zeros((B,), bool)
 
-    def body(carry, _):
-        state, tok, done = carry
+    # Early-exit loop: once EVERY sequence has emitted EOS the remaining
+    # steps would only write PAD (the buffer's initial value), so the loop
+    # stops — on real corpora typical lengths are far below the static
+    # max_decode_length horizon and this saves most decode steps.
+    ids_buf0 = jnp.full((max_length, B), PAD_ID, jnp.int32)
+
+    def cond(carry):
+        t, _, _, done, _ = carry
+        return jnp.logical_and(t < max_length, ~jnp.all(done))
+
+    def body(carry):
+        t, state, tok, done, ids_buf = carry
         state, logits = dec.decoder_step(
             params, cfg, tok, state, memories, compute_dtype=compute_dtype
         )
@@ -45,10 +57,11 @@ def greedy_decode(
         done_new = jnp.logical_or(done, nxt == EOS_ID)
         # Feed EOS while finished so the recurrence stays stable.
         feed = jnp.where(done, EOS_ID, nxt)
-        return (state, feed, done_new), out
+        ids_buf = jax.lax.dynamic_update_index_in_dim(ids_buf, out, t, 0)
+        return (t + 1, state, feed, done_new, ids_buf)
 
-    (_, _, _), ids = jax.lax.scan(
-        body, (state0, tok0, done0), None, length=max_length
+    _, _, _, _, ids = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), state0, tok0, done0, ids_buf0)
     )
     ids = ids.T  # [B, L]
     # Length = position of first EOS (inclusive), or max_length.

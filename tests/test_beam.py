@@ -126,3 +126,46 @@ def test_beam_respects_length_penalty():
         if EOS_ID in row:
             i = row.index(EOS_ID)
             assert all(x == PAD_ID for x in row[i + 1 :])
+
+
+def test_early_exit_when_all_beams_finish():
+    """The early-exit while_loop stops as soon as every beam has emitted
+    EOS (with results identical to the full-horizon run: remaining steps
+    only append zero-score EOS continuations).  Force termination by
+    biasing the output projection hard toward EOS."""
+    params, mem, B = build()
+    params = dict(params)
+    params["out_b"] = params["out_b"].at[EOS_ID].set(50.0)
+    # width 2: step 1 -> [EOS, a]; step 2 -> both beams finished (EOS-cont
+    # and aEOS beat any non-EOS continuation under the bias) -> exit.
+    short = beam_search(params, CFG, [mem], MAXLEN + 2, beam_width=2,
+                        compute_dtype=jnp.float32)
+    long = beam_search(params, CFG, [mem], MAXLEN + 20, beam_width=2,
+                       compute_dtype=jnp.float32)
+    assert int(short.steps) == 2
+    assert int(long.steps) == 2   # the extra horizon is never executed
+    L = short.ids.shape[1]
+    np.testing.assert_array_equal(
+        np.asarray(short.ids), np.asarray(long.ids[:, :L])
+    )
+    assert np.all(np.asarray(long.ids[:, L:]) == PAD_ID)
+    np.testing.assert_allclose(
+        np.asarray(short.scores), np.asarray(long.scores), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(short.lengths), np.asarray(long.lengths)
+    )
+
+
+def test_greedy_early_exit_when_all_finish():
+    params, mem, B = build()
+    params = dict(params)
+    params["out_b"] = params["out_b"].at[EOS_ID].set(50.0)
+    ids_s, len_s = greedy_decode(params, CFG, [mem], MAXLEN + 2,
+                                 compute_dtype=jnp.float32)
+    ids_l, len_l = greedy_decode(params, CFG, [mem], MAXLEN + 20,
+                                 compute_dtype=jnp.float32)
+    L = ids_s.shape[1]
+    np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_l[:, :L]))
+    assert np.all(np.asarray(ids_l[:, L:]) == PAD_ID)
+    np.testing.assert_array_equal(np.asarray(len_s), np.asarray(len_l))
