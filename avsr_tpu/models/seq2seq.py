@@ -290,6 +290,41 @@ def loss_fn(
     logits, aux = forward(
         params, cfg, batch, train=train, rng=rng, noise_bank=noise_bank
     )
+    return _losses(cfg, batch, logits, aux, train=train)
+
+
+def loss_given_encode(
+    params: Params,
+    cfg: ExperimentConfig,
+    batch: Batch,
+    enc_out: EncodeOutput,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """CE (+AU) sequence loss from an already-computed EncodeOutput — lets
+    one jitted eval program share the encoder between the teacher-forced
+    loss and the beam/greedy decode (the encoder dominates eval compute)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    logits = dec.teacher_forced_logits(
+        params["decoder"], cfg.decoder, batch.targets, batch.target_lengths,
+        enc_out.memories,
+        sampling_probability=cfg.decoder.sampling_probability if train else 0.0,
+        rng=rng,
+        compute_dtype=compute_dtype_of(cfg),
+        dropout=train,
+    )
+    return _losses(cfg, batch, logits, enc_out.aux, train=train)
+
+
+def _losses(
+    cfg: ExperimentConfig,
+    batch: Batch,
+    logits: jnp.ndarray,
+    aux: Dict[str, Any],
+    *,
+    train: bool,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     ce = dec.sequence_loss(
         logits, batch.targets, batch.target_lengths,
         label_smoothing=cfg.train.label_smoothing if train else 0.0,

@@ -92,7 +92,6 @@ class Trainer:
         # (and once per noise condition) and a fresh jit each call would
         # recompile (minutes on TPU)
         self._decode_cache = {}
-        self._eval_step_cache = {}
 
     # ------------------------------------------------------------------
 
@@ -225,14 +224,13 @@ class Trainer:
         cfg = self.cfg
         loader = loader or self.eval_loader
         acc = ErrorRateAccumulator()
-        decode_fn = self._make_decode_fn(use_beam)
+        eval_fn = self._make_eval_decode_fn(use_beam)
         losses: List[float] = []
         weights: List[int] = []
         for bucket, np_batch in loader.epoch(shuffle=False):
             batch = to_model_batch(np_batch)
             batch = self._place(batch)
-            ids = decode_fn(self.state.params, batch)
-            metrics = self._make_eval_step()(self.state.params, batch)
+            ids, metrics = eval_fn(self.state.params, batch)
             ids = np.asarray(ids)
             n_real = np_batch["num_real"]
             losses.append(float(metrics["loss"]))
@@ -317,16 +315,46 @@ class Trainer:
             self.cfg = original
         return results
 
-    def _make_eval_step(self):
-        """Jitted eval step for the CURRENT cfg (eval_snr_db/eval_noise_type
-        are baked into the program, so per-condition eval needs one program
-        per condition)."""
-        fn = self._eval_step_cache.get(self.cfg)
-        if fn is None:
-            fn = step_lib.make_jitted_eval_step(
-                self.cfg, mesh=self.mesh, noise_bank=self.noise_bank
+    def _make_eval_decode_fn(self, use_beam: bool):
+        """ONE jitted eval program per (use_beam, cfg): the encoder runs
+        once and feeds BOTH the teacher-forced eval loss and the beam/greedy
+        decode (the encoder dominates eval compute, so fusing them nearly
+        halves eval cost vs separate loss/decode programs).
+        eval_snr_db/eval_noise_type are baked in, so per-condition eval gets
+        one program per condition (cached)."""
+        cfg = self.cfg
+        noise_bank = self.noise_bank
+        cache_key = ("eval", use_beam, cfg)
+        cached = self._decode_cache.get(cache_key)
+        if cached is not None:
+            return cached
+
+        def eval_decode(params, batch):
+            out = seq2seq.encode(
+                params, cfg, batch, train=False, noise_bank=noise_bank
             )
-            self._eval_step_cache[self.cfg] = fn
+            _, metrics = seq2seq.loss_given_encode(
+                params, cfg, batch, out, train=False
+            )
+            if use_beam and cfg.decode.beam_width > 1:
+                res = beam_search(
+                    params["decoder"], cfg.decoder, out.memories,
+                    cfg.decode.max_decode_length,
+                    beam_width=cfg.decode.beam_width,
+                    length_penalty=cfg.decode.length_penalty,
+                    compute_dtype=seq2seq.compute_dtype_of(cfg),
+                )
+                ids = res.ids
+            else:
+                ids, _ = greedy_decode(
+                    params["decoder"], cfg.decoder, out.memories,
+                    cfg.decode.max_decode_length,
+                    compute_dtype=seq2seq.compute_dtype_of(cfg),
+                )
+            return ids, metrics
+
+        fn = jax.jit(eval_decode)
+        self._decode_cache[cache_key] = fn
         return fn
 
     def _make_decode_fn(self, use_beam: bool):
