@@ -30,6 +30,11 @@ def greedy_decode(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (ids [B, max_length] int32 with PAD after EOS, lengths [B])."""
     B = memories[0].values.shape[0]
+    # Materialize the memories before the loop: jitted together with the
+    # encoder, XLA otherwise re-fuses the encoder-output transpose into
+    # every decode step (same hazard measured for beam search — see
+    # decode/beam.py _tile_memory).
+    memories = jax.lax.optimization_barrier(list(memories))
     memory_dims = [m.values.shape[-1] for m in memories]
     state0 = dec.initial_state(cfg, B, memory_dims)
     tok0 = jnp.full((B,), GO_ID, jnp.int32)
