@@ -97,3 +97,74 @@ def test_tpu_graft_entry_forward():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ENTRY_OK" in out.stdout, out.stdout
+
+
+_EVAL_SMOKE = r"""
+import jax, numpy as np
+assert jax.devices()[0].platform != "cpu"
+
+from avsr_tpu.configs import (AudioFrontendConfig, DecodeConfig, DecoderConfig,
+                              EncoderConfig, ExperimentConfig, FusionConfig,
+                              TrainConfig, VideoFrontendConfig)
+from avsr_tpu.decode.beam import beam_search
+from avsr_tpu.decode.greedy import greedy_decode
+from avsr_tpu.models import seq2seq
+from avsr_tpu.models.seq2seq import Batch
+
+cfg = ExperimentConfig(
+    architecture="av_align",
+    audio=AudioFrontendConfig(num_mel_bins=12, fft_length=256,
+                              frame_stacking=3, frame_skipping=3,
+                              add_deltas=False),
+    video=VideoFrontendConfig(roi_height=20, roi_width=20,
+                              conv_channels=(4, 8), embedding_dim=16),
+    audio_encoder=EncoderConfig(hidden_units=(32,), dropout_rate=0.0),
+    video_encoder=EncoderConfig(hidden_units=(16,), dropout_rate=0.0),
+    fusion=FusionConfig(attention_units=16),
+    decoder=DecoderConfig(embedding_dim=8, hidden_units=(32,),
+                          attention_units=16, max_label_length=8,
+                          dropout_rate=0.0),
+    train=TrainConfig(compute_dtype="bfloat16"),
+    decode=DecodeConfig(beam_width=3, max_decode_length=8),
+)
+rng = np.random.default_rng(0)
+B, S, Tv, K, V = 2, 8000, 13, 8, 31
+batch = Batch(
+    audio=np.asarray(rng.standard_normal((B, S)), np.float32),
+    audio_lengths=np.asarray([S, S // 2], np.int32),
+    video=np.asarray(rng.standard_normal((B, Tv, 20, 20, 1)), np.float32),
+    video_lengths=np.asarray([Tv, Tv - 3], np.int32),
+    targets=np.asarray(rng.integers(3, V, (B, K)), np.int32),
+    target_lengths=np.asarray([K, K - 2], np.int32),
+)
+params = seq2seq.model_init(jax.random.PRNGKey(0), cfg, V)
+cdt = seq2seq.compute_dtype_of(cfg)
+
+# the fused eval program: one encode -> teacher-forced loss + beam decode
+# (the early-exit while_loop path, the memory-barrier tiling, loss sharing)
+def eval_decode(params, batch):
+    out = seq2seq.encode(params, cfg, batch, train=False)
+    _, metrics = seq2seq.loss_given_encode(params, cfg, batch, out,
+                                           train=False)
+    res = beam_search(params["decoder"], cfg.decoder, out.memories,
+                      cfg.decode.max_decode_length,
+                      beam_width=cfg.decode.beam_width, compute_dtype=cdt)
+    g_ids, _ = greedy_decode(params["decoder"], cfg.decoder, out.memories,
+                             cfg.decode.max_decode_length, compute_dtype=cdt)
+    return res.ids, res.steps, g_ids, metrics["loss"]
+
+ids, steps, g_ids, loss = jax.jit(eval_decode)(params, batch)
+loss = float(loss)  # true host sync
+ids = np.asarray(ids)
+assert np.isfinite(loss), loss
+assert ids.shape == (B, cfg.decode.max_decode_length), ids.shape
+assert 1 <= int(steps) <= cfg.decode.max_decode_length
+assert np.asarray(g_ids).shape == (B, cfg.decode.max_decode_length)
+print("EVAL_SMOKE_OK loss", loss, "steps", int(steps))
+"""
+
+
+def test_tpu_eval_decode_program():
+    out = _run_on_device(_EVAL_SMOKE)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "EVAL_SMOKE_OK" in out.stdout, out.stdout
