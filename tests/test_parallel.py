@@ -54,3 +54,40 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_eval_decode_matches_single_device(rng):
+    """The fused eval program (encode -> loss + early-exit beam decode)
+    under a DP mesh must produce the same hypotheses and loss as a single
+    device — parallel evaluation is a first-class production path."""
+    from avsr_tpu.decode.beam import beam_search
+
+    cfg = tiny_config("av_align")
+    params = seq2seq.model_init(jax.random.PRNGKey(0), cfg, VOCAB)
+    B = 8
+    batch = tiny_batch("av_align", rng, B=B)
+    # tiny_batch's lengths are hardcoded for B=2; rebuild them for B=8
+    batch = batch._replace(
+        audio_lengths=jnp.full((B,), batch.audio.shape[1], jnp.int32),
+        video_lengths=jnp.full((B,), batch.video.shape[1], jnp.int32),
+        target_lengths=jnp.full((B,), batch.targets.shape[1], jnp.int32),
+    )
+    cdt = seq2seq.compute_dtype_of(cfg)
+
+    def eval_decode(p, b):
+        out = seq2seq.encode(p, cfg, b, train=False)
+        loss, _ = seq2seq.loss_given_encode(p, cfg, b, out, train=False)
+        res = beam_search(p["decoder"], cfg.decoder, out.memories, 6,
+                          beam_width=3, compute_dtype=cdt)
+        return res.ids, loss
+
+    ids_1, loss_1 = jax.jit(eval_decode)(params, batch)
+
+    mesh = make_mesh(num_data=8)
+    p_repl = replicate(mesh, params)
+    b_shard = shard_batch(mesh, batch)
+    ids_8, loss_8 = jax.jit(eval_decode)(p_repl, b_shard)
+
+    np.testing.assert_array_equal(np.asarray(ids_1), np.asarray(ids_8))
+    np.testing.assert_allclose(float(loss_1), float(loss_8), rtol=1e-5)
