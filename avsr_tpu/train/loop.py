@@ -227,6 +227,7 @@ class Trainer:
         eval_fn = self._make_eval_decode_fn(use_beam)
         losses: List[float] = []
         weights: List[int] = []
+        t_eval = time.time()
         for bucket, np_batch in loader.epoch(shuffle=False):
             batch = to_model_batch(np_batch)
             batch = self._place(batch)
@@ -248,6 +249,11 @@ class Trainer:
             os.path.join(self.run_dir, f"predictions_{tag}.txt")
         )
         summary = acc.summary()
+        dt = time.time() - t_eval
+        summary["seconds"] = round(dt, 3)
+        summary["utterances_per_sec"] = round(
+            summary["num_utterances"] / max(dt, 1e-9), 2
+        )
         if losses:
             summary["loss"] = float(
                 np.average(losses, weights=np.maximum(weights, 1))
