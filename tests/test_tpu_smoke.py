@@ -68,7 +68,9 @@ print("TPU_SMOKE_OK loss", loss)
 """
 
 
-def _run_on_device(script: str, timeout: int = 900):
+def _run_on_device(script: str, timeout: int = 1800):
+    # generous: the remote compile service has been observed 3x slower
+    # under load (333 s vs 130 s for the same train-step compile)
     env = dict(os.environ)
     # drop the CPU forcing the parent test process may carry
     env.pop("JAX_PLATFORMS", None)
