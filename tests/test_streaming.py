@@ -169,3 +169,53 @@ def test_streaming_rss_bounded(tmp_path):
     # Working set: one batch (2 x 240k samples ~ 2 MB) + buffers.  Allow
     # generous allocator slack but stay far below the file size.
     assert growth_mb < file_mb / 2, (growth_mb, file_mb)
+
+
+def test_uint8_records_compact_transfer_end_to_end(tmp_path):
+    """uint8-coded video records -> streaming source -> compact-transfer
+    loader -> model loss: the whole chain is quantization-closed (the
+    loader's x255 re-quantization exactly inverts the record decoder's
+    /255), so the compact path's loss equals the fp32 path's."""
+    import dataclasses
+
+    import jax
+
+    from avsr_tpu.data.loader import to_model_batch
+    from avsr_tpu.models import seq2seq
+    from tests.test_seq2seq import VOCAB, tiny_config
+
+    rng = np.random.default_rng(7)
+    utts = []
+    for i in range(4):
+        # pixel data on the uint8 grid; PCM on the int16 grid
+        vid = (rng.integers(0, 256, (6, 12, 12, 1)) / 255.0).astype(np.float32)
+        wav = (rng.integers(-32768, 32768, 4000) / 32767.0).astype(np.float32)
+        utts.append(Utterance(uid=f"u{i}", transcript="abc",
+                              waveform=wav, video=vid))
+    path = str(tmp_path / "av.tfrecord")
+    tfrecord.write_dataset(utts, path, video_codec="uint8")
+
+    units = builtin_unit_dict("character")
+    cfg = tiny_config("av_align")
+
+    def batches(transfer):
+        data_cfg = DataConfig(
+            batch_size=4, audio_bucket_boundaries=(40,), max_label_length=8,
+            transfer_dtype=transfer,
+        )
+        loader = BucketingLoader(
+            TFRecordDataSource(path), units, data_cfg,
+            require_audio=True, require_video=True,
+        )
+        [(_, b)] = list(loader.epoch(shuffle=False))
+        return b
+
+    b_fp = batches("float32")
+    b_c = batches("compact")
+    assert b_c["video"].dtype == np.uint8
+    assert b_c["audio"].dtype == np.int16
+
+    params = seq2seq.model_init(jax.random.PRNGKey(0), cfg, VOCAB)
+    l_fp, _ = seq2seq.loss_fn(params, cfg, to_model_batch(b_fp), train=False)
+    l_c, _ = seq2seq.loss_fn(params, cfg, to_model_batch(b_c), train=False)
+    np.testing.assert_allclose(float(l_fp), float(l_c), rtol=1e-6)
