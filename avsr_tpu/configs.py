@@ -249,6 +249,11 @@ class TrainConfig:
     num_epochs: int = 100
     # Mixed precision: bf16 matmul/activations with fp32 params + state.
     compute_dtype: str = "bfloat16"  # "bfloat16" | "float32"
+    # Pre-compile every bucket's train program before epoch 1 (one dummy
+    # step per bucket on a throwaway state copy; results are bit-identical
+    # either way).  On TPU each new bucket otherwise stalls mid-epoch for
+    # minutes of compile.
+    warmup_compile: bool = False
     # Rematerialization policy for the encoder/decoder scans.
     remat: bool = False
     checkpoint_dir: str = "checkpoints"

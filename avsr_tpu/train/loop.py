@@ -133,6 +133,8 @@ class Trainer:
         evaluate_every = evaluate_every or cfg.train.eval_every_epochs
         if try_restore_latest_checkpoint:
             self.try_restore_latest_checkpoint()
+        if cfg.train.warmup_compile:
+            self.warmup()
 
         last_metrics: Dict[str, float] = {}
         while self.epoch < num_epochs:
@@ -200,6 +202,85 @@ class Trainer:
             if self.eval_loader is not None and self.epoch % evaluate_every == 0:
                 last_metrics = self.evaluate(epoch=self.epoch)
         return last_metrics
+
+    def warmup(self) -> int:
+        """Pre-compile the train step for every bucket shape by running one
+        dummy step per shape on a THROWAWAY copy of the state.
+
+        On TPU each new bucket shape otherwise stalls epoch 1 for minutes
+        of compile mid-training; after warmup every epoch runs at
+        steady-state speed.  Training state, rng, and data iterators are
+        untouched, so results are bit-identical with or without warmup
+        (tested).  Returns the number of bucket programs compiled."""
+        loader = self.train_loader
+        if not hasattr(loader, "bucket_shapes"):
+            return 0
+        n = 0
+        for b, shp in sorted(loader.bucket_shapes().items()):
+            np_batch = self._dummy_batch(shp)
+            batch = self._place(to_model_batch(np_batch))
+            # jnp.copy, NOT asarray: the jitted step donates its state
+            # argument, so passing self.state's own buffers would
+            # invalidate the real training state.
+            state_copy = jax.tree_util.tree_map(jnp.copy, self.state)
+            _, metrics = self.train_step(state_copy, batch, self._data_rng)
+            float(metrics["loss"])  # true host sync: wait out the compile
+            n += 1
+            self.logger.info(
+                f"warmup: bucket {b} compiled "
+                f"(audio={shp.audio_samples}, video={shp.video_frames}, "
+                f"labels={shp.label_len})"
+            )
+        return n
+
+    def _dummy_batch(self, shp):
+        """Zero batch matching one bucket's static shapes (and the
+        transfer dtypes), mirroring BucketingLoader._assemble."""
+        cfg = self.cfg
+        loader = self.train_loader
+        B = cfg.data.batch_size
+        compact = cfg.data.transfer_dtype == "compact"
+        arch = cfg.architecture
+        out = {"uids": [f"warmup{i}" for i in range(B)], "num_real": B}
+        if arch in ("audio", "av_align", "bimodal"):
+            S = shp.audio_samples
+            out["audio"] = np.zeros(
+                (B, S), np.int16 if compact else np.float32
+            )
+            out["audio_lengths"] = np.full((B,), S, np.int32)
+        if arch in ("video", "av_align", "bimodal"):
+            T = shp.video_frames
+            # AU-feature datasets feed [T, au_dim] instead of ROI frames;
+            # peek at the first utterance to compile the right program.
+            au_video = False
+            try:
+                u0 = loader.utts[0]
+                au_video = u0.video is None and u0.au is not None
+            except Exception:
+                pass
+            if au_video:
+                out["video"] = np.zeros((B, T, u0.au.shape[1]), np.float32)
+            else:
+                v = cfg.video
+                out["video"] = np.zeros(
+                    (B, T, v.roi_height, v.roi_width, 1),
+                    np.uint8 if compact else np.float32,
+                )
+            out["video_lengths"] = np.full((B,), T, np.int32)
+        if getattr(loader, "au_target_stacking", None) is not None:
+            stack, skip = loader.au_target_stacking
+            T_raw = max(
+                (shp.audio_samples - loader.frame_length)
+                // loader.frame_step + 1, 1,
+            )
+            T_a = max((T_raw - stack) // skip + 1, 1)
+            out["au_targets"] = np.zeros((B, T_a, loader.au_dim), np.float32)
+        K = shp.label_len
+        tgt = np.zeros((B, K), np.int32)
+        tgt[:, 0] = 2  # EOS
+        out["targets"] = tgt
+        out["target_lengths"] = np.ones((B,), np.int32)
+        return out
 
     def _place(self, batch):
         if self.mesh is None:

@@ -221,3 +221,31 @@ def test_midepoch_resume_bit_exact(tmp_path, data):
     for x, y in zip(jax.tree_util.tree_leaves(p_full),
                     jax.tree_util.tree_leaves(b.trainer.state.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_warmup_compile_is_invisible_to_training(tmp_path, data):
+    """Trainer.warmup() pre-compiles every bucket program on a throwaway
+    state copy; training afterwards must be bit-identical to training
+    without warmup."""
+    import dataclasses
+
+    cfg = overfit_config("av_align", str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg,
+        fusion=dataclasses.replace(cfg.fusion, au_loss_weight=1.0),
+        train=dataclasses.replace(cfg.train, num_epochs=1,
+                                  eval_every_epochs=100),
+    )
+    a = AVSR(config=cfg, run_dir=str(tmp_path / "a"), train_utterances=data,
+             eval_utterances=data)
+    n = a.trainer.warmup()
+    assert n == len(a.trainer.train_loader.bucket_shapes())
+    a.train(num_epochs=1)
+
+    b = AVSR(config=cfg, run_dir=str(tmp_path / "b"), train_utterances=data,
+             eval_utterances=data)
+    b.train(num_epochs=1)
+
+    for x, y in zip(jax.tree_util.tree_leaves(a.trainer.state.params),
+                    jax.tree_util.tree_leaves(b.trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
