@@ -317,7 +317,7 @@ _lstm_scan_core.defvjp(_lstm_scan_core_fwd, _lstm_scan_core_bwd)
 #
 # The per-step cost of these scans is LATENCY-bound, not FLOP-bound (measured
 # on v5e: a lone [128,256]x[256,1024] step and a G=2-batched step cost nearly
-# the same — tools/bench_lstm_pallas.py / RESULTS.md).  Running BOTH BiLSTM
+# the same — RESULTS.md round 2).  Running BOTH BiLSTM
 # directions inside ONE scan therefore halves each layer's sequential depth
 # for free.  Round 1 had the fused forward (fused_bilstm_scan) and the
 # custom VJP separately but never together; this core combines them: G=2
