@@ -111,3 +111,24 @@ def test_sequence_example_tf_interop():
     assert ctx2["n"] == [42]
     assert fls2["frames"] == [[1.0, 2.0], [3.0, 4.0]]
     assert fls2["tags"] == [[b"a"], [b"b"]]
+
+
+def test_native_index_rejects_hostile_length():
+    """A crafted header whose length field would wrap uint64 arithmetic
+    (pos + 12 + len + 4) must be rejected by the native indexer, not read
+    out of bounds (advisor finding, native/avsr_native.cc bounds check)."""
+    import struct
+
+    from avsr_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    # valid length-crc over a hostile length close to 2**64
+    hostile_len = (1 << 64) - 8
+    header = struct.pack("<Q", hostile_len)
+    frame = header + struct.pack("<I", native.masked_crc32c(header))
+    buf = frame + b"\x00" * 64
+    with pytest.raises(ValueError, match="corrupt"):
+        native.tfrecord_index(buf, verify=True)
+    with pytest.raises(ValueError, match="corrupt"):
+        native.tfrecord_index(buf, verify=False)
