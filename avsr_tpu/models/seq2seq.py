@@ -130,6 +130,7 @@ def encode(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     noise_bank: Optional[jnp.ndarray] = None,
+    eval_snr: Optional[jnp.ndarray] = None,
 ) -> EncodeOutput:
     arch = cfg.architecture
     cdt = compute_dtype_of(cfg)
@@ -173,9 +174,15 @@ def encode(
                 ntype = (
                     cfg.noise.eval_noise_type if bank.num_types > 1 else None
                 )
+                # ``eval_snr`` (a traced scalar) lets ONE compiled program
+                # serve every SNR of a (type x SNR) evaluation matrix —
+                # only the noise TYPE (bank shapes) forces a recompile.
+                snr = (
+                    eval_snr if eval_snr is not None
+                    else cfg.noise.eval_snr_db
+                )
                 wav = noise_ops.mix_fixed_snr(
-                    wav, wav_len, bank, cfg.noise.eval_snr_db,
-                    noise_type=ntype,
+                    wav, wav_len, bank, snr, noise_type=ntype,
                 )
         feats, feat_len = logmel_frontend(
             wav, wav_len, cfg.audio, compute_dtype=cdt

@@ -309,10 +309,15 @@ class Trainer:
         losses: List[float] = []
         weights: List[int] = []
         t_eval = time.time()
+        eval_snr = jnp.asarray(
+            cfg.noise.eval_snr_db if cfg.noise.eval_snr_db is not None
+            else 0.0,
+            jnp.float32,
+        )
         for bucket, np_batch in loader.epoch(shuffle=False):
             batch = to_model_batch(np_batch)
             batch = self._place(batch)
-            ids, metrics = eval_fn(self.state.params, batch)
+            ids, metrics = eval_fn(self.state.params, batch, eval_snr)
             ids = np.asarray(ids)
             n_real = np_batch["num_real"]
             losses.append(float(metrics["loss"]))
@@ -407,18 +412,29 @@ class Trainer:
         once and feeds BOTH the teacher-forced eval loss and the beam/greedy
         decode (the encoder dominates eval compute, so fusing them nearly
         halves eval cost vs separate loss/decode programs).
-        eval_snr_db/eval_noise_type are baked in, so per-condition eval gets
-        one program per condition (cached)."""
+        The eval SNR enters as a RUNTIME scalar, so one compiled program
+        serves every SNR of a noise matrix; only clean-vs-noisy and the
+        noise TYPE (bank shapes) are baked in (cached per such key)."""
+        import dataclasses
+
         cfg = self.cfg
         noise_bank = self.noise_bank
-        cache_key = ("eval", use_beam, cfg)
+        has_snr = cfg.noise.eval_snr_db is not None
+        key_cfg = dataclasses.replace(
+            cfg,
+            noise=dataclasses.replace(
+                cfg.noise, eval_snr_db=0.0 if has_snr else None
+            ),
+        )
+        cache_key = ("eval", use_beam, key_cfg)
         cached = self._decode_cache.get(cache_key)
         if cached is not None:
             return cached
 
-        def eval_decode(params, batch):
+        def eval_decode(params, batch, eval_snr):
             out = seq2seq.encode(
-                params, cfg, batch, train=False, noise_bank=noise_bank
+                params, cfg, batch, train=False, noise_bank=noise_bank,
+                eval_snr=eval_snr,
             )
             _, metrics = seq2seq.loss_given_encode(
                 params, cfg, batch, out, train=False

@@ -249,3 +249,57 @@ def test_warmup_compile_is_invisible_to_training(tmp_path, data):
     for x, y in zip(jax.tree_util.tree_leaves(a.trainer.state.params),
                     jax.tree_util.tree_leaves(b.trainer.state.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_noise_matrix_shares_programs_across_snrs(tmp_path, data):
+    """The eval SNR is a runtime scalar: a full (type x SNR) matrix must
+    compile one program per noise TYPE plus one clean program — not one
+    per condition — and distinct SNRs must still produce distinct
+    decodes through the SHARED program."""
+    from avsr_tpu.data.synthetic import make_noise_bank
+
+    cfg = overfit_config("audio", str(tmp_path), epochs=1)
+    bank = {
+        "babble": make_noise_bank(num_rows=2, row_samples=40_000, seed=1),
+        "cafe": make_noise_bank(num_rows=2, row_samples=40_000, seed=2),
+    }
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runp"),
+                train_utterances=data, eval_utterances=data,
+                noise_bank=bank)
+    results = avsr.trainer.evaluate_noise_matrix(
+        (None, 10.0, 0.0, -5.0), use_beam=False
+    )
+    assert set(results) == {
+        "clean", "babble_10dB", "babble_0dB", "babble_-5dB",
+        "cafe_10dB", "cafe_0dB", "cafe_-5dB",
+    }
+    eval_keys = [k for k in avsr.trainer._decode_cache if k[0] == "eval"]
+    assert len(eval_keys) == 3, eval_keys  # clean + babble + cafe
+
+
+def test_runtime_snr_changes_decode_through_shared_program(tmp_path, data):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from avsr_tpu.data.loader import to_model_batch
+    from avsr_tpu.data.synthetic import make_noise_bank
+
+    cfg = overfit_config("audio", str(tmp_path), epochs=1)
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runq"),
+                train_utterances=data, eval_utterances=data,
+                noise_bank=make_noise_bank(num_rows=2, row_samples=40_000))
+    avsr.trainer.cfg = dataclasses.replace(
+        cfg, noise=dataclasses.replace(cfg.noise, eval_snr_db=0.0)
+    )
+    fn = avsr.trainer._make_eval_decode_fn(False)
+    _, np_batch = next(iter(avsr.eval_loader.epoch(shuffle=False)))
+    batch = to_model_batch(np_batch)
+    p = avsr.trainer.state.params
+    ids_hi, _ = fn(p, batch, jnp.float32(20.0))
+    ids_lo, _ = fn(p, batch, jnp.float32(-5.0))
+    avsr.trainer.cfg = cfg
+    assert not np.array_equal(np.asarray(ids_hi), np.asarray(ids_lo)), (
+        "-5 dB and 20 dB decoded identically through the shared program: "
+        "the runtime SNR scalar is not reaching the mixer"
+    )
