@@ -224,7 +224,10 @@ class AVSR:
         (an int, a step string, or a path ending in the step directory).
 
         An unresolvable or missing checkpoint FAILS LOUDLY — silently
-        evaluating the wrong model is worse than an error."""
+        evaluating the wrong model is worse than an error.  Likewise a
+        NEVER-TRAINED state: with no checkpoint on disk and no training done
+        in this session, evaluation would score freshly-initialized params
+        (~100% WER) with no hint why, so it raises instead."""
         if checkpoint is not None:
             step = self._resolve_checkpoint_step(checkpoint)
             self.trainer.state, _, _ = self.trainer.ckpt.restore(
@@ -233,6 +236,13 @@ class AVSR:
         elif self.trainer.ckpt.latest_step() is not None:
             self.trainer.state, _, _ = self.trainer.ckpt.restore(
                 self.trainer.state
+            )
+        elif self.trainer._host_step == 0:
+            raise RuntimeError(
+                "evaluate() called on a never-trained model: no checkpoint "
+                f"under {self.trainer.ckpt.directory} and no training steps "
+                "taken this session — the result would score randomly-"
+                "initialized parameters.  Train first, or pass checkpoint=."
             )
         return self.trainer.evaluate(epoch=epoch, use_beam=use_beam)
 

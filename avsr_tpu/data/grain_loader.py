@@ -14,9 +14,6 @@ ingest layer:
   (upstream:avsr/io_utils.py make_iterator_from_two_records): INNER joins
   an audio and a video record file by uid, counting and reporting dropped
   unmatched utterances instead of silently mixing modality availability.
-* ``make_grain_dataset`` — optional grain ``MapDataset`` wrapper for
-  environments with grain installed.
-
 Sources are picklable (the file handle is opened lazily per process), so
 multiprocessing decode workers can fetch records in parallel
 (DataConfig.num_workers; see loader.BucketingLoader).
@@ -120,26 +117,6 @@ class JoinedAVSource:
         u.video = v.video
         u.au = v.au
         return u
-
-
-def make_grain_dataset(
-    path: str,
-    *,
-    seed: int = 0,
-    shuffle: bool = True,
-    num_workers: int = 0,
-):
-    """Build a grain MapDataset over a TFRecord file (None if grain absent)."""
-    try:
-        import grain.python as grain_py  # noqa: F401
-        from grain.python import MapDataset
-    except Exception:
-        return None
-    source = TFRecordDataSource(path)
-    ds = MapDataset.source(source)
-    if shuffle:
-        ds = ds.shuffle(seed=seed)
-    return ds
 
 
 def load_utterances(path: str) -> List[Utterance]:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import zlib
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -99,6 +100,7 @@ class BucketingLoader:
         self.seed = cfg.seed if seed is None else seed
         self._epoch = 0
         self._warned_oov = False
+        self._video_sig: Optional[Tuple[str, Tuple[int, ...]]] = None
         self._bucket_shapes = self._compute_bucket_shapes()
 
     # -- static shapes ------------------------------------------------------
@@ -123,6 +125,29 @@ class BucketingLoader:
 
     def bucket_shapes(self) -> Dict[int, BucketShape]:
         return dict(self._bucket_shapes)
+
+    def video_signature(self) -> Optional[Tuple[str, Tuple[int, ...]]]:
+        """Which video modality this dataset feeds: ``("roi", frame_shape)``
+        for pixel crops, ``("au", (dim,))`` for AU-feature streams, or None
+        when the loader carries no video.  Determined by peeking the first
+        utterance ONCE (sources are random-access by contract) — used by
+        Trainer.warmup() to compile the right program instead of guessing."""
+        if not self.require_video:
+            return None
+        if self._video_sig is None:
+            if len(self.utts) == 0:
+                raise ValueError("cannot infer video signature: empty dataset")
+            u0 = self.utts[0]
+            if u0.video is not None:
+                self._video_sig = ("roi", tuple(u0.video.shape[1:]))
+            elif u0.au is not None:
+                self._video_sig = ("au", (int(u0.au.shape[1]),))
+            else:
+                raise ValueError(
+                    "require_video=True but the first utterance has neither "
+                    "video frames nor AU features"
+                )
+        return self._video_sig
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the epoch counter so the NEXT ``epoch()`` call reproduces the
@@ -187,6 +212,12 @@ class BucketingLoader:
         out = NumpyBatch()
         out["uids"] = [u.uid for u in batch_utts]
         out["num_real"] = n_real if n_real is not None else B
+        # Stable per-utterance hash (crc32 of uid): keys eval-time noise
+        # assignment to the UTTERANCE, not its batch position, so a fixed
+        # (type x SNR) condition is reproducible across batch compositions.
+        out["uid_hashes"] = np.asarray(
+            [zlib.crc32(u.uid.encode("utf-8")) for u in batch_utts], np.uint32
+        )
 
         if self.require_audio:
             S = shape.audio_samples
@@ -200,10 +231,19 @@ class BucketingLoader:
             if self.cfg.transfer_dtype == "compact":
                 # int16 PCM transfer: x32767 inverts load_wav's /32767, so
                 # data that originated as 16-bit PCM round-trips bit-exactly;
-                # the device dequantizes inside the jitted step.
-                wav = np.clip(
-                    np.round(wav * 32767.0), -32768, 32767
-                ).astype(np.int16)
+                # the device dequantizes inside the jitted step.  Data off
+                # the int16 grid would be silently distorted by clipping —
+                # fail loudly instead (mirrors the video-range check).
+                lo, hi = float(wav.min()), float(wav.max())
+                if lo < -32768.0 / 32767.0 or hi > 1.0:
+                    raise ValueError(
+                        "data.transfer_dtype='compact' requires int16-PCM-"
+                        f"range audio in [-32768/32767, 1]; batch has range "
+                        f"[{lo:g}, {hi:g}] (gain-augmented or synthetic "
+                        "audio must be rescaled, or use transfer_dtype="
+                        "'float32')"
+                    )
+                wav = np.round(wav * 32767.0).astype(np.int16)
             out["audio"] = wav
             out["audio_lengths"] = wlen
 
@@ -271,6 +311,12 @@ class BucketingLoader:
         tgt = np.zeros((B, K), np.int32)
         tlen = np.zeros((B,), np.int32)
         on_unknown = "error" if self.cfg.strict_units else "drop"
+        # Scoring references: the DECODED text of the FULL encoded transcript,
+        # independent of the bucket label cap K.  The training horizon is
+        # capped (targets below); the reference an eval hypothesis is scored
+        # against must NOT be, or label_bucket_caps silently shortens
+        # references and inflates CER/WER.
+        references: List[str] = []
         for j, u in enumerate(batch_utts):
             if not self.cfg.strict_units and not self._warned_oov:
                 n_oov = self.units.count_unknown(u.transcript)
@@ -282,15 +328,15 @@ class BucketingLoader:
                         "data.strict_units=true to fail instead)",
                         u.transcript, n_oov, self.units.unit_type,
                     )
-            ids = np.asarray(
-                self.units.encode(u.transcript, on_unknown=on_unknown),
-                np.int32,
-            )[:K]
+            full_ids = self.units.encode(u.transcript, on_unknown=on_unknown)
+            references.append(self.units.decode(full_ids, stop_at_eos=False))
+            ids = np.asarray(full_ids, np.int32)[:K]
             tgt[j, : len(ids)] = ids
             tlen[j] = len(ids)
         # repeated padding rows contribute zero loss
         if n_real is not None:
             tlen[n_real:] = 0
+        out["references"] = references
         out["targets"] = tgt
         out["target_lengths"] = tlen
         return out
@@ -396,4 +442,5 @@ def to_model_batch(np_batch: NumpyBatch):
         targets=np_batch.get("targets"),
         target_lengths=np_batch.get("target_lengths"),
         au_targets=np_batch.get("au_targets"),
+        uid_hashes=np_batch.get("uid_hashes"),
     )

@@ -41,6 +41,10 @@ class Batch(NamedTuple):
     targets: Optional[jnp.ndarray] = None        # [B, K] unit ids incl. EOS
     target_lengths: Optional[jnp.ndarray] = None # [B] incl. EOS
     au_targets: Optional[jnp.ndarray] = None     # [B, T_a, au_dim] (TASLP AU loss)
+    uid_hashes: Optional[jnp.ndarray] = None     # [B] uint32 crc32(uid): keys
+                                                 # deterministic eval noise to
+                                                 # the utterance, not its
+                                                 # batch position
 
 
 def compute_dtype_of(cfg: ExperimentConfig):
@@ -183,6 +187,7 @@ def encode(
                 )
                 wav = noise_ops.mix_fixed_snr(
                     wav, wav_len, bank, snr, noise_type=ntype,
+                    uid_hashes=batch.uid_hashes,
                 )
         feats, feat_len = logmel_frontend(
             wav, wav_len, cfg.audio, compute_dtype=cdt

@@ -179,22 +179,35 @@ def mix_fixed_snr(
     *,
     noise_type: Optional[str] = None,
     seed: int = 0,
+    uid_hashes: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Deterministic fixed-(type x SNR) mixing for evaluation-condition
     parity (one condition per reference noisy-dataset copy).
 
-    Noise row/offset are a deterministic function of the example index and
-    `seed`, so repeated evaluations see identical noisy inputs.
+    Noise row/offset are a deterministic function of `seed` and the
+    UTTERANCE — ``uid_hashes`` ([B] uint32, e.g. crc32 of the uid) keys each
+    example's noise draw, so the same utterance receives the same noise in
+    any batch composition / eval-set ordering, making error rates comparable
+    across checkpoints even as the eval set changes.  Without hashes the
+    draw falls back to batch position (stable only for a frozen eval set).
     ``noise_type`` selects the bank type by name (None -> first type).
     """
     bank = NoiseBank.create(noise_bank)
     arr = bank.banks[bank.type_index(noise_type)]
     B, S = wav.shape
-    rng = jax.random.PRNGKey(seed)
-    k_idx, k_off = jax.random.split(rng)
     N, L = arr.shape
-    idx = jax.random.randint(k_idx, (B,), 0, N)
-    offsets = jax.random.randint(k_off, (B,), 0, max(L - S + 1, 1))
+    base = jax.random.PRNGKey(seed)
+    if uid_hashes is None:
+        uid_hashes = jnp.arange(B, dtype=jnp.uint32)
+
+    def draw(h):
+        k_idx, k_off = jax.random.split(jax.random.fold_in(base, h))
+        return (
+            jax.random.randint(k_idx, (), 0, N),
+            jax.random.randint(k_off, (), 0, max(L - S + 1, 1)),
+        )
+
+    idx, offsets = jax.vmap(draw)(uid_hashes.astype(jnp.uint32))
     noise = _gather_segments(arr, idx, offsets, S)
     snrs = jnp.full((B,), snr_db, jnp.float32)
     return mix_at_snr(wav, wav_lengths, noise, snrs)

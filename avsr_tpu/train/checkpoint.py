@@ -32,6 +32,12 @@ class CheckpointManager:
                 max_to_keep=keep, create=True, enable_async_checkpointing=False
             ),
         )
+        # Steps written by THIS manager instance.  A same-step collision
+        # within one run (per-K-steps save meeting the epoch-end save) has an
+        # identical tensor payload and may skip the write; a collision with a
+        # step left on disk by a PREVIOUS run does not — skipping it would
+        # keep stale tensors under fresh metadata.
+        self._saved_steps: set = set()
 
     def save(
         self, step: int, state: TrainState, extra: Optional[Dict[str, Any]] = None
@@ -41,13 +47,26 @@ class CheckpointManager:
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
         }
-        if step not in self._mgr.all_steps():
+        if step not in self._saved_steps:
+            if step in self._mgr.all_steps():
+                # Stale checkpoint from a previous run in this directory:
+                # replace it, loudly, so params and side metadata agree.
+                import logging
+
+                logging.getLogger("avsr_tpu").warning(
+                    "checkpoint step %d already exists in %s from a previous "
+                    "run; overwriting with this run's state", step,
+                    self.directory,
+                )
+                self._mgr.delete(step)
             self._mgr.save(step, args=ocp.args.StandardSave(payload))
             self._mgr.wait_until_finished()
-        # else: same optimizer step already saved (e.g. a per-K-steps save
-        # colliding with the epoch-end save); the tensor payload is
-        # identical, but refresh the side metadata below (the epoch-end
-        # extra carries the advanced epoch / reset iterator position).
+            self._saved_steps.add(step)
+        # else: same optimizer step already saved by THIS run (e.g. a
+        # per-K-steps save colliding with the epoch-end save); the tensor
+        # payload is identical, but refresh the side metadata below (the
+        # epoch-end extra carries the advanced epoch / reset iterator
+        # position).
         if extra:  # side metadata (epoch, data-iterator position, rng seed)
             import json
 

@@ -140,7 +140,6 @@ class Trainer:
         while self.epoch < num_epochs:
             t_epoch = time.time()
             frames = 0
-            losses: List[float] = []
             from avsr_tpu.data.loader import prefetch
 
             skip = self._resume_batches
@@ -172,7 +171,6 @@ class Trainer:
                     frames += int(np.sum(np_batch["video_lengths"]))
                 if step_i % max(cfg.train.log_every_steps, 1) == 0:
                     loss = float(metrics["loss"])
-                    losses.append(loss)
                     self.logger.log(
                         "train", step=step_i, epoch=self.epoch, loss=loss,
                         grad_norm=float(metrics["grad_norm"]), bucket=bucket,
@@ -241,7 +239,11 @@ class Trainer:
         B = cfg.data.batch_size
         compact = cfg.data.transfer_dtype == "compact"
         arch = cfg.architecture
-        out = {"uids": [f"warmup{i}" for i in range(B)], "num_real": B}
+        out = {
+            "uids": [f"warmup{i}" for i in range(B)],
+            "num_real": B,
+            "uid_hashes": np.arange(B, dtype=np.uint32),
+        }
         if arch in ("audio", "av_align", "bimodal"):
             S = shp.audio_samples
             out["audio"] = np.zeros(
@@ -251,19 +253,15 @@ class Trainer:
         if arch in ("video", "av_align", "bimodal"):
             T = shp.video_frames
             # AU-feature datasets feed [T, au_dim] instead of ROI frames;
-            # peek at the first utterance to compile the right program.
-            au_video = False
-            try:
-                u0 = loader.utts[0]
-                au_video = u0.video is None and u0.au is not None
-            except Exception:
-                pass
-            if au_video:
-                out["video"] = np.zeros((B, T, u0.au.shape[1]), np.float32)
+            # the loader's video signature (peeked once at the source) says
+            # which program shape to compile — guessing wrong here wastes a
+            # multi-minute remote compile on a program no real batch uses.
+            kind, fshape = loader.video_signature()
+            if kind == "au":
+                out["video"] = np.zeros((B, T, fshape[0]), np.float32)
             else:
-                v = cfg.video
                 out["video"] = np.zeros(
-                    (B, T, v.roi_height, v.roi_width, 1),
+                    (B, T, *fshape),
                     np.uint8 if compact else np.float32,
                 )
             out["video_lengths"] = np.full((B,), T, np.int32)
@@ -322,9 +320,18 @@ class Trainer:
             n_real = np_batch["num_real"]
             losses.append(float(metrics["loss"]))
             weights.append(n_real)
+            # Score against the UNTRUNCATED reference carried by the loader
+            # (np_batch["references"]); the targets tensor is capped at the
+            # bucket's label horizon (label_bucket_caps) for the training/
+            # loss path, and scoring against it would shorten references
+            # and inflate CER/WER.  Fallback for hand-built batches.
+            refs = np_batch.get("references")
             for j in range(n_real):
                 hyp = self.units.decode(ids[j])
-                ref = self.units.decode(np_batch["targets"][j])
+                ref = (
+                    refs[j] if refs is not None
+                    else self.units.decode(np_batch["targets"][j])
+                )
                 acc.update(ref, hyp, np_batch["uids"][j])
         tag = f"epoch{epoch}" if epoch is not None else "final"
         if self.cfg.noise.eval_snr_db is not None:

@@ -147,3 +147,18 @@ def test_unit_type_switch(tmp_path, data):
         )
         assert avsr.unit_dict.unit_type == unit
         assert avsr.unit_dict.decode(avsr.unit_dict.encode(tok)) == tok
+
+
+def test_evaluate_never_trained_raises(tmp_path, data):
+    """evaluate() with no checkpoint on disk and no training this session
+    must fail loudly instead of silently scoring random params (VERDICT
+    round-2 weak #4)."""
+    avsr = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "fresh"),
+        train_utterances=data, eval_utterances=data,
+    )
+    with pytest.raises(RuntimeError, match="never-trained"):
+        avsr.evaluate()

@@ -160,3 +160,78 @@ def test_compact_transfer_rejects_out_of_range_video():
     )
     with pytest.raises(ValueError, match="requires video in"):
         list(loader.epoch(shuffle=False))
+
+
+def test_eval_references_not_truncated_by_caps():
+    """label_bucket_caps bound the TRAINING horizon only: the scoring
+    reference carried in the batch must be the full transcript (VERDICT
+    round-2 weak #1 — truncated references inflate CER/WER)."""
+    loader, utts, units = make_loader(label_bucket_caps=(3, 3, 3))
+    by_uid = {u.uid: u for u in utts}
+    saw_long = False
+    for b, batch in loader.epoch(shuffle=False):
+        assert batch["targets"].shape[1] == 3  # training horizon capped
+        for j in range(batch["num_real"]):
+            uid = batch["uids"][j]
+            full = by_uid[uid].transcript
+            assert batch["references"][j] == full
+            if len(full) > 3:  # characters alone exceed the cap
+                saw_long = True
+                # target row is truncated -> decoding it would shorten ref
+                assert units.decode(batch["targets"][j]) != full
+    assert saw_long, "fixture never exceeded the cap; test is vacuous"
+
+
+def test_uid_hashes_stable_across_batch_composition():
+    import zlib
+
+    loader, utts, _ = make_loader()
+    for _, batch in loader.epoch(shuffle=False):
+        for j in range(len(batch["uids"])):
+            expect = zlib.crc32(batch["uids"][j].encode()) & 0xFFFFFFFF
+            assert int(batch["uid_hashes"][j]) == expect
+        assert batch["uid_hashes"].dtype == np.uint32
+
+
+def test_compact_transfer_rejects_out_of_range_audio():
+    """Gain-augmented audio off the int16 grid must fail loudly, not be
+    silently clipped (advisor round-2 finding)."""
+    import pytest
+
+    from avsr_tpu.data.synthetic import Utterance
+
+    utt = Utterance(
+        uid="u0", transcript="ab",
+        waveform=np.full(4000, 1.7, np.float32),
+        video=np.zeros((5, 12, 12, 1), np.float32),
+    )
+    cfg = DataConfig(
+        batch_size=1, audio_bucket_boundaries=(40,), max_label_length=8,
+        transfer_dtype="compact",
+    )
+    loader = BucketingLoader(
+        [utt], builtin_unit_dict("character"), cfg,
+        require_audio=True, require_video=True,
+    )
+    with pytest.raises(ValueError, match="int16-PCM"):
+        list(loader.epoch(shuffle=False))
+
+
+def test_video_signature_roi_and_au():
+    from avsr_tpu.data.synthetic import Utterance
+
+    cfg = DataConfig(batch_size=1, audio_bucket_boundaries=(40,),
+                     max_label_length=8)
+    units = builtin_unit_dict("character")
+    roi_utt = Utterance(uid="r", transcript="a",
+                        waveform=np.zeros(4000, np.float32),
+                        video=np.zeros((5, 12, 14, 1), np.float32))
+    au_utt = Utterance(uid="a", transcript="a",
+                       waveform=np.zeros(4000, np.float32),
+                       au=np.zeros((5, 2), np.float32))
+    roi = BucketingLoader([roi_utt], units, cfg, require_video=True)
+    assert roi.video_signature() == ("roi", (12, 14, 1))
+    au = BucketingLoader([au_utt], units, cfg, require_video=True)
+    assert au.video_signature() == ("au", (2,))
+    aud = BucketingLoader([roi_utt], units, cfg, require_video=False)
+    assert aud.video_signature() is None

@@ -145,3 +145,35 @@ def test_fixed_snr_eval_mixing_is_deterministic():
     np.testing.assert_array_equal(a, b)
     got = measured_snr_db(np.asarray(wav)[0], a[0], 8000)
     assert abs(got - 10.0) < 0.1
+
+
+def test_fixed_snr_noise_keyed_to_uid_not_batch_position():
+    """The same utterance must receive the SAME noise in any batch
+    composition (uid-hash keying): error rates stay comparable across
+    checkpoints when the eval set changes (VERDICT round-2 weak #3)."""
+    rng = np.random.default_rng(11)
+    bank = rng.standard_normal((3, 9000)).astype(np.float32)
+    w1 = (0.3 * np.sin(np.arange(8000) / 8)).astype(np.float32)
+    w2 = (0.2 * np.sin(np.arange(8000) / 17)).astype(np.float32)
+    lengths = jnp.asarray([8000, 8000], jnp.int32)
+    h1, h2 = np.uint32(0xDEADBEEF), np.uint32(0x12345678)
+
+    wav_a = jnp.asarray(np.stack([w1, w2]))
+    noisy_a = np.asarray(noise_ops.mix_fixed_snr(
+        wav_a, lengths, bank, 5.0, uid_hashes=jnp.asarray([h1, h2])
+    ))
+    # same utterances, swapped batch positions
+    wav_b = jnp.asarray(np.stack([w2, w1]))
+    noisy_b = np.asarray(noise_ops.mix_fixed_snr(
+        wav_b, lengths, bank, 5.0, uid_hashes=jnp.asarray([h2, h1])
+    ))
+    np.testing.assert_allclose(noisy_a[0], noisy_b[1], rtol=1e-6)
+    np.testing.assert_allclose(noisy_a[1], noisy_b[0], rtol=1e-6)
+    # and a singleton batch still reproduces the same mix
+    noisy_c = np.asarray(noise_ops.mix_fixed_snr(
+        wav_a[:1], lengths[:1], bank, 5.0, uid_hashes=jnp.asarray([h1])
+    ))
+    np.testing.assert_allclose(noisy_a[0], noisy_c[0], rtol=1e-6)
+    # distinct uids draw distinct noise
+    assert not np.allclose(noisy_a[0] - np.asarray(wav_a)[0],
+                           noisy_a[1] - np.asarray(wav_a)[1])

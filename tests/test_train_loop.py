@@ -303,3 +303,78 @@ def test_runtime_snr_changes_decode_through_shared_program(tmp_path, data):
         "-5 dB and 20 dB decoded identically through the shared program: "
         "the runtime SNR scalar is not reaching the mixer"
     )
+
+
+def test_eval_scores_against_untruncated_references(tmp_path, data):
+    """An aggressive label_bucket_caps must NOT shorten the scoring
+    reference: the predictions file carries the full transcript and CER is
+    computed against it (VERDICT round-2 weak #1 / next #1)."""
+    import dataclasses
+
+    cfg = overfit_config("audio", str(tmp_path), epochs=1)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, label_bucket_caps=(3,))
+    )
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runrefs"),
+                train_utterances=data, eval_utterances=data)
+    avsr.train(num_epochs=1)
+    summary = avsr.evaluate(use_beam=False)
+    # data has transcripts of 2-4 chars; with cap 3 (incl. EOS) some targets
+    # truncate to 2 units, but references must stay whole.
+    by_uid = {u.uid: u.transcript for u in data}
+    pred_files = [f for f in os.listdir(avsr.trainer.run_dir)
+                  if f.startswith("predictions")]
+    assert pred_files
+    refs = {}
+    with open(os.path.join(avsr.trainer.run_dir, pred_files[0])) as f:
+        uid = None
+        for line in f:
+            if line.startswith("id:"):
+                uid = line[3:].strip()
+            elif line.startswith("ref:") and uid is not None:
+                refs[uid] = line[4:].strip()
+    assert refs
+    saw_truncatable = False
+    for uid, ref in refs.items():
+        assert ref == by_uid[uid], (uid, ref, by_uid[uid])
+        if len(by_uid[uid]) + 1 > 3:
+            saw_truncatable = True
+    assert saw_truncatable, "no transcript exceeded the cap; test is vacuous"
+    # sanity: the error accumulator used the same full references
+    assert 0.0 <= summary["cer"] <= 8.0
+
+
+def test_checkpoint_collision_with_previous_run_overwrites(tmp_path):
+    """A fresh run saving into a directory holding a previous run's
+    checkpoint at the same step must replace the stale tensors, not keep
+    them under fresh metadata (advisor round-2 finding)."""
+    import jax.numpy as jnp
+
+    from avsr_tpu.train.checkpoint import CheckpointManager
+    from avsr_tpu.train.step import TrainState
+
+    d = str(tmp_path / "ckpt")
+
+    def state(v):
+        return TrainState(
+            params={"w": np.full((3,), v, np.float32)},
+            opt_state={"m": np.zeros((3,), np.float32)},
+            step=jnp.asarray(1, jnp.int32),
+        )
+
+    run1 = CheckpointManager(d, keep=3)
+    run1.save(1, state(1.0), {"epoch": 0, "batches_done": 1})
+    run1.close()
+
+    run2 = CheckpointManager(d, keep=3)  # fresh run, same directory
+    run2.save(1, state(2.0), {"epoch": 0, "batches_done": 1})
+    restored, extra, step = run2.restore(state(0.0))
+    assert step == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.full((3,), 2.0, np.float32)
+    )
+    # same-run metadata-only refresh still works (per-K meets epoch-end)
+    run2.save(1, state(2.0), {"epoch": 1, "batches_done": 0})
+    _, extra2, _ = run2.restore(state(0.0))
+    assert extra2 == {"epoch": 1, "batches_done": 0}
+    run2.close()
