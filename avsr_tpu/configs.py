@@ -256,6 +256,12 @@ class TrainConfig:
     warmup_compile: bool = False
     # Rematerialization policy for the encoder/decoder scans.
     remat: bool = False
+    # AV regimes: batch same-depth audio/video encoder layers into single
+    # scans (rnn.multi_fused_bilstm_scan) — TPU cores serialize independent
+    # scans, so fusing removes the video encoder's scan from the critical
+    # path.  Numerically identical either way (tested); knob exists for
+    # A/B measurement.
+    fuse_encoder_scans: bool = True
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 5
     save_every_steps: int = 0  # 0 = per-epoch only

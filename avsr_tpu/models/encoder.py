@@ -77,56 +77,165 @@ def encoder_apply(
     mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
     h = x_tbd
     final_state = None
+    for i, layer in enumerate(params["layers"]):
+        prev = h
+        rd_masks, dropout_rng = _rd_masks(layer, cfg, B, train, dropout_rng)
+        h, final_state = _layer_scan(
+            layer, cfg, h, mask, rd_masks, compute_dtype
+        )
+        h, dropout_rng = _post_layer(
+            layer, cfg, prev, h, train, dropout_rng, compute_dtype
+        )
+    # Re-zero padded steps (residual/dropout can reintroduce nonzeros).
+    h = h * mask[:, :, None]
+    return h, final_state
+
+
+def _rd_masks(layer, cfg: EncoderConfig, B: int, train: bool, dropout_rng):
+    """Variational recurrent dropout masks: one fixed [B, H] mask per
+    layer/direction, applied to the recurrent input every step."""
     use_rd = (
         train and cfg.recurrent_dropout_rate > 0.0 and dropout_rng is not None
         and cfg.cell_type == "lstm"
     )
-    for i, layer in enumerate(params["layers"]):
-        prev = h
-        rd_masks = None
-        if use_rd:
-            # Variational recurrent dropout: one fixed [B, H] mask per
-            # layer/direction, applied to the recurrent input every step.
-            from avsr_tpu.utils.rng import dropout_mask
+    if not use_rd:
+        return None, dropout_rng
+    from avsr_tpu.utils.rng import dropout_mask
 
-            keep = 1.0 - cfg.recurrent_dropout_rate
-            H = layer["fwd"]["wh"].shape[0]
-            dropout_rng, k1, k2 = jax.random.split(dropout_rng, 3)
-            rd_masks = (dropout_mask(k1, keep, (B, H)),
-                        dropout_mask(k2, keep, (B, H)))
-        if cfg.bidirectional:
-            h, final_state = rnn.bidirectional_scan(
-                cfg.cell_type, layer["fwd"], layer["bwd"], h, mask,
-                compute_dtype=compute_dtype, unroll=cfg.scan_unroll,
-                recurrent_dropout_masks=rd_masks,
+    keep = 1.0 - cfg.recurrent_dropout_rate
+    H = layer["fwd"]["wh"].shape[0]
+    dropout_rng, k1, k2 = jax.random.split(dropout_rng, 3)
+    return (
+        (dropout_mask(k1, keep, (B, H)), dropout_mask(k2, keep, (B, H))),
+        dropout_rng,
+    )
+
+
+def _layer_scan(layer, cfg: EncoderConfig, h, mask, rd_masks, compute_dtype):
+    if cfg.bidirectional:
+        return rnn.bidirectional_scan(
+            cfg.cell_type, layer["fwd"], layer["bwd"], h, mask,
+            compute_dtype=compute_dtype, unroll=cfg.scan_unroll,
+            recurrent_dropout_masks=rd_masks,
+        )
+    kw = {}
+    if rd_masks is not None:
+        kw["recurrent_dropout_mask"] = rd_masks[0]
+    return rnn.rnn_scan(
+        cfg.cell_type, layer["fwd"], h, mask,
+        compute_dtype=compute_dtype, unroll=cfg.scan_unroll, **kw,
+    )
+
+
+def _post_layer(layer, cfg: EncoderConfig, prev, h, train, dropout_rng,
+                compute_dtype):
+    """Residual / highway wrapper + output dropout after one layer's scan."""
+    if cfg.residual and prev.shape[-1] == h.shape[-1]:
+        h = h + prev
+    elif "hw_w" in layer:  # highway wrapper (dims matched at init)
+        t = jax.nn.sigmoid(
+            jnp.einsum(
+                "tbd,dk->tbk", prev.astype(compute_dtype),
+                layer["hw_w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            ) + layer["hw_b"]
+        )
+        h = t * h + (1.0 - t) * prev
+    if train and cfg.dropout_rate > 0.0 and dropout_rng is not None:
+        from avsr_tpu.utils.rng import dropout_mask
+
+        dropout_rng, sub = jax.random.split(dropout_rng)
+        keep = 1.0 - cfg.dropout_rate
+        # hardware-RNG (rbg) mask bits: these [T, B, H] draws are the
+        # train step's largest RNG cost (utils/rng.py, 4x faster)
+        h = h * dropout_mask(sub, keep, h.shape, h.dtype)
+    return h, dropout_rng
+
+
+def can_pair_encoders(cfg_a: EncoderConfig, cfg_b: EncoderConfig,
+                      train: bool) -> bool:
+    """True when paired_encoder_apply can fuse at least the first layers of
+    two independent encoder stacks into one scan: plain bidirectional LSTM
+    cells (the custom-VJP direction-batched core's contract) with equal
+    first-layer hidden sizes.  Recurrent dropout is per-stream state inside
+    the scan body and is not supported by the batched core."""
+    for c in (cfg_a, cfg_b):
+        if c.cell_type != "lstm" or not c.bidirectional or c.layer_norm:
+            return False
+        if c.scan_unroll != 1:
+            return False
+        if train and c.recurrent_dropout_rate > 0.0:
+            return False
+    return cfg_a.hidden_units[0] == cfg_b.hidden_units[0]
+
+
+def paired_encoder_apply(
+    params_a: Params,
+    cfg_a: EncoderConfig,
+    xa_tbd: jnp.ndarray,
+    lengths_a: jnp.ndarray,
+    params_b: Params,
+    cfg_b: EncoderConfig,
+    xb_tbd: jnp.ndarray,
+    lengths_b: jnp.ndarray,
+    *,
+    train: bool = False,
+    dropout_rng_a: Optional[jax.Array] = None,
+    dropout_rng_b: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[Tuple[jnp.ndarray, Tuple], Tuple[jnp.ndarray, Tuple]]:
+    """Encode TWO independent sequences, batching same-depth layers of the
+    two stacks into single scans (rnn.multi_fused_bilstm_scan).
+
+    The audio and video encoders of the AV regimes are independent chains
+    whose scans would otherwise serialize on a TPU core; zipping their
+    layers cuts the sequential scan depth from sum(T_a * L_a + T_v * L_v)
+    steps to max-based wavefronts wherever hidden sizes line up.  Numerics —
+    including every dropout draw — are IDENTICAL to two encoder_apply calls
+    with the same rngs (tested in tests/test_encoder_wrappers.py).
+
+    Returns ((out_a, state_a), (out_b, state_b)) exactly as encoder_apply.
+    """
+    Ta, B, _ = xa_tbd.shape
+    Tb = xb_tbd.shape[0]
+    mask_a = (jnp.arange(Ta)[:, None] < lengths_a[None, :]).astype(jnp.float32)
+    mask_b = (jnp.arange(Tb)[:, None] < lengths_b[None, :]).astype(jnp.float32)
+    la, lb = params_a["layers"], params_b["layers"]
+    ha, hb = xa_tbd, xb_tbd
+    state_a = state_b = None
+    rng_a, rng_b = dropout_rng_a, dropout_rng_b
+    fuse_ok = can_pair_encoders(cfg_a, cfg_b, train)
+    for i in range(max(len(la), len(lb))):
+        A = la[i] if i < len(la) else None
+        Bb = lb[i] if i < len(lb) else None
+        if A is not None:
+            prev_a, (rd_a, rng_a) = ha, _rd_masks(A, cfg_a, B, train, rng_a)
+        if Bb is not None:
+            prev_b, (rd_b, rng_b) = hb, _rd_masks(Bb, cfg_b, B, train, rng_b)
+        if (
+            A is not None and Bb is not None and fuse_ok
+            and cfg_a.hidden_units[i] == cfg_b.hidden_units[i]
+        ):
+            (ha, state_a), (hb, state_b) = rnn.multi_fused_bilstm_scan(
+                [
+                    (A["fwd"], A["bwd"], ha, mask_a),
+                    (Bb["fwd"], Bb["bwd"], hb, mask_b),
+                ],
+                compute_dtype=compute_dtype,
             )
         else:
-            kw = {}
-            if rd_masks is not None:
-                kw["recurrent_dropout_mask"] = rd_masks[0]
-            h, final_state = rnn.rnn_scan(
-                cfg.cell_type, layer["fwd"], h, mask,
-                compute_dtype=compute_dtype, unroll=cfg.scan_unroll, **kw,
-            )
-        if cfg.residual and prev.shape[-1] == h.shape[-1]:
-            h = h + prev
-        elif "hw_w" in layer:  # highway wrapper (dims matched at init)
-            t = jax.nn.sigmoid(
-                jnp.einsum(
-                    "tbd,dk->tbk", prev.astype(compute_dtype),
-                    layer["hw_w"].astype(compute_dtype),
-                    preferred_element_type=jnp.float32,
-                ) + layer["hw_b"]
-            )
-            h = t * h + (1.0 - t) * prev
-        if train and cfg.dropout_rate > 0.0 and dropout_rng is not None:
-            from avsr_tpu.utils.rng import dropout_mask
-
-            dropout_rng, sub = jax.random.split(dropout_rng)
-            keep = 1.0 - cfg.dropout_rate
-            # hardware-RNG (rbg) mask bits: these [T, B, H] draws are the
-            # train step's largest RNG cost (utils/rng.py, 4x faster)
-            h = h * dropout_mask(sub, keep, h.shape, h.dtype)
-    # Re-zero padded steps (residual/dropout can reintroduce nonzeros).
-    h = h * mask[:, :, None]
-    return h, final_state
+            if A is not None:
+                ha, state_a = _layer_scan(A, cfg_a, ha, mask_a, rd_a,
+                                          compute_dtype)
+            if Bb is not None:
+                hb, state_b = _layer_scan(Bb, cfg_b, hb, mask_b, rd_b,
+                                          compute_dtype)
+        if A is not None:
+            ha, rng_a = _post_layer(A, cfg_a, prev_a, ha, train, rng_a,
+                                    compute_dtype)
+        if Bb is not None:
+            hb, rng_b = _post_layer(Bb, cfg_b, prev_b, hb, train, rng_b,
+                                    compute_dtype)
+    ha = ha * mask_a[:, :, None]
+    hb = hb * mask_b[:, :, None]
+    return (ha, state_a), (hb, state_b)

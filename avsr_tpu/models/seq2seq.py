@@ -204,14 +204,9 @@ def encode(
                 freq_mask_width=cfg.audio.freq_mask_width,
             )
         feats_tb = jnp.transpose(feats, (1, 0, 2))  # time-major
-        audio_out_tb, _ = enc_apply(
-            params["audio_encoder"], cfg.audio_encoder, feats_tb, feat_len,
-            k_enc_a,
-        )
-        audio_mem = jnp.transpose(audio_out_tb, (1, 0, 2))
-        audio_mem_len = feat_len
         aux["audio_feature_lengths"] = feat_len
 
+    v_tb = v_len = None
     if arch in ("video", "av_align", "bimodal"):
         video = batch.video
         if video.dtype == jnp.uint8:
@@ -222,9 +217,48 @@ def encode(
             batch.video_lengths, compute_dtype=cdt,
         )
         v_tb = jnp.transpose(v_emb, (1, 0, 2))
-        v_out_tb, _ = enc_apply(
-            params["video_encoder"], cfg.video_encoder, v_tb, v_len, k_enc_v,
+
+    # Encoder application.  The AV regimes' audio/video encoder stacks are
+    # independent chains; when shapes line up their same-depth layers run as
+    # ONE direction-and-stream-batched scan (models/encoder.py
+    # paired_encoder_apply) — a TPU core serializes independent scans, so
+    # pairing removes the video encoder's scan from the critical path.
+    pair = (
+        arch in ("av_align", "bimodal")
+        and cfg.train.fuse_encoder_scans
+        and enc.can_pair_encoders(cfg.audio_encoder, cfg.video_encoder, train)
+    )
+    if pair:
+        def dual_apply(pa, pv, xa, la, xv, lv, ra, rv):
+            return enc.paired_encoder_apply(
+                pa, cfg.audio_encoder, xa, la,
+                pv, cfg.video_encoder, xv, lv,
+                train=train, dropout_rng_a=ra, dropout_rng_b=rv,
+                compute_dtype=cdt,
+            )
+
+        if cfg.train.remat:
+            dual_apply = jax.checkpoint(dual_apply)
+        (audio_out_tb, _), (v_out_tb, _) = dual_apply(
+            params["audio_encoder"], params["video_encoder"],
+            feats_tb, feat_len, v_tb, v_len, k_enc_a, k_enc_v,
         )
+    else:
+        if arch in ("audio", "av_align", "bimodal"):
+            audio_out_tb, _ = enc_apply(
+                params["audio_encoder"], cfg.audio_encoder, feats_tb,
+                feat_len, k_enc_a,
+            )
+        if v_tb is not None:
+            v_out_tb, _ = enc_apply(
+                params["video_encoder"], cfg.video_encoder, v_tb, v_len,
+                k_enc_v,
+            )
+
+    if arch in ("audio", "av_align", "bimodal"):
+        audio_mem = jnp.transpose(audio_out_tb, (1, 0, 2))
+        audio_mem_len = feat_len
+    if v_tb is not None:
         video_mem = jnp.transpose(v_out_tb, (1, 0, 2))
         video_mem_len = v_len
 

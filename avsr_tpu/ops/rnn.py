@@ -678,6 +678,82 @@ def fused_bilstm_scan(
     return out, (state_f, state_b)
 
 
+def multi_fused_bilstm_scan(
+    streams,
+    *,
+    compute_dtype=jnp.bfloat16,
+):
+    """Run N INDEPENDENT BiLSTM layers in ONE scan (G = 2N gate matmuls).
+
+    TPU cores execute one op at a time — two separate ``lax.scan`` regions
+    SERIALIZE even when data-independent, so e.g. the audio encoder's first
+    layer and the video encoder's first layer (independent chains, same
+    hidden size) otherwise pay T_audio + T_video sequential steps.  Batching
+    them onto the direction axis of :func:`_bilstm_scan_core` pays
+    max(T_audio, T_video) steps instead; the per-step cost is latency-bound
+    at these sizes (RESULTS.md round 2), so a G=4 step costs about the same
+    as G=2.  (True cross-LAYER wavefronting is impossible for bidirectional
+    stacks: layer k+1 at t=0 needs layer k's backward output at t=0, which
+    is only available after layer k's full scan.)
+
+    Args:
+      streams: list of (params_fwd, params_bwd, x_tbd [T_i, B, D_i],
+        mask_tb [T_i, B] or None).  All streams must share B and the hidden
+        size H; time lengths and input dims may differ (shorter streams are
+        zero-padded and masked — carry-through keeps their states exact).
+        Cells must be plain LSTM (no layer norm).
+
+    Returns: list of (out [T_i, B, 2H] as concat(fwd, bwd),
+                      ((hT_f, cT_f), (hT_b, cT_b))) per stream.
+    """
+    assert streams, "multi_fused_bilstm_scan needs at least one stream"
+    B = streams[0][2].shape[1]
+    H = streams[0][0]["wh"].shape[0]
+    Ts = [s[2].shape[0] for s in streams]
+    T_max = max(Ts)
+
+    xws, masks, whs, bs = [], [], [], []
+    for params_fwd, params_bwd, x_tbd, mask_tb in streams:
+        T = x_tbd.shape[0]
+        if mask_tb is None:
+            mask_tb = jnp.ones((T, B), jnp.float32)
+        mask_tb = mask_tb.astype(jnp.float32)
+        xw_f = _project_inputs(params_fwd, x_tbd, compute_dtype)
+        xw_b = _project_inputs(params_bwd, x_tbd, compute_dtype)
+        pad = T_max - T
+        if pad:
+            pz = ((0, pad), (0, 0), (0, 0))
+            xw_f = jnp.pad(xw_f, pz)
+            xw_b = jnp.pad(xw_b, pz)
+            mask_tb = jnp.pad(mask_tb, ((0, pad), (0, 0)))
+        # backward direction consumes the time-flipped padded stream; the
+        # pad lands at the START with mask 0, so the zero init state carries
+        # through until the true last frame (same scheme as
+        # fused_bilstm_scan on right-padded utterances).
+        xws += [xw_f, jnp.flip(xw_b, axis=0)]
+        masks += [mask_tb, jnp.flip(mask_tb, axis=0)]
+        whs += [params_fwd["wh"], params_bwd["wh"]]
+        bs += [params_fwd["b"], params_bwd["b"]]
+
+    xw = jnp.stack(xws, axis=1)        # [T_max, G, B, 4H]
+    mask = jnp.stack(masks, axis=1)    # [T_max, G, B]
+    wh = jnp.stack(whs, axis=0)        # [G, H, 4H]
+    b = jnp.stack(bs, axis=0)          # [G, 4H]
+    G = len(xws)
+    h0 = jnp.zeros((G, B, H), jnp.float32)
+    c0 = jnp.zeros((G, B, H), jnp.float32)
+    ys, hT, cT = _bilstm_scan_core(wh, b, xw, mask, (h0, c0), compute_dtype)
+
+    outs = []
+    for i, T in enumerate(Ts):
+        gf, gb = 2 * i, 2 * i + 1
+        ys_f = ys[:T, gf]
+        ys_b = jnp.flip(ys[:, gb], axis=0)[:T]
+        out = jnp.concatenate([ys_f, ys_b], axis=-1)
+        outs.append((out, ((hT[gf], cT[gf]), (hT[gb], cT[gb]))))
+    return outs
+
+
 def bidirectional_scan(
     cell_type: str,
     params_fwd: Params,

@@ -291,3 +291,56 @@ def test_fused_bilstm_custom_vjp_grads_match_two_scan(rng):
                 np.asarray(gf[k]), np.asarray(gt[k]),
                 rtol=1e-4, atol=1e-5, err_msg=k,
             )
+
+
+def test_multi_fused_bilstm_matches_per_stream_scans(rng):
+    """Independent BiLSTM layers batched into ONE scan (different lengths,
+    different input dims) must match per-stream fused scans on values,
+    final states, and grads — incl. the padded shorter stream."""
+    B, H = 3, 5
+    Ta, Da, Tb, Db = 9, 4, 6, 7
+    pa_f = rnn.lstm_init(jax.random.PRNGKey(31), Da, H)
+    pa_b = rnn.lstm_init(jax.random.PRNGKey(32), Da, H)
+    pb_f = rnn.lstm_init(jax.random.PRNGKey(33), Db, H)
+    pb_b = rnn.lstm_init(jax.random.PRNGKey(34), Db, H)
+    xa = jnp.asarray(rng.standard_normal((Ta, B, Da)).astype(np.float32))
+    xb = jnp.asarray(rng.standard_normal((Tb, B, Db)).astype(np.float32))
+    mask_a = np.ones((Ta, B), np.float32)
+    mask_a[7:, 0] = 0.0
+    mask_b = np.ones((Tb, B), np.float32)
+    mask_b[4:, 2] = 0.0
+    mask_a, mask_b = jnp.asarray(mask_a), jnp.asarray(mask_b)
+
+    def loss(params, multi):
+        pa_f_, pa_b_, pb_f_, pb_b_ = params
+        if multi:
+            (ya, sa), (yb, sb) = rnn.multi_fused_bilstm_scan(
+                [(pa_f_, pa_b_, xa, mask_a), (pb_f_, pb_b_, xb, mask_b)],
+                compute_dtype=jnp.float32,
+            )
+        else:
+            ya, sa = rnn.fused_bilstm_scan(pa_f_, pa_b_, xa, mask_a,
+                                           compute_dtype=jnp.float32)
+            yb, sb = rnn.fused_bilstm_scan(pb_f_, pb_b_, xb, mask_b,
+                                           compute_dtype=jnp.float32)
+        wa = jnp.arange(ya.size, dtype=jnp.float32).reshape(ya.shape) / ya.size
+        wb = jnp.arange(yb.size, dtype=jnp.float32).reshape(yb.shape) / yb.size
+        t = jnp.sum(ya * wa) + 1.7 * jnp.sum(yb * wb)
+        for s, w in ((sa, 0.7), (sb, 1.3)):
+            (hf, cf), (hb_, cb) = s
+            t = t + w * (jnp.sum(hf) + jnp.sum(cf) * 0.5
+                         + jnp.sum(hb_) * 0.9 + jnp.sum(cb) * 1.1)
+        return t
+
+    params = (pa_f, pa_b, pb_f, pb_b)
+    np.testing.assert_allclose(
+        float(loss(params, True)), float(loss(params, False)), rtol=1e-5
+    )
+    g_multi = jax.grad(lambda p: loss(p, True))(params)
+    g_sep = jax.grad(lambda p: loss(p, False))(params)
+    for gm, gs in zip(g_multi, g_sep):
+        for k in gm:
+            np.testing.assert_allclose(
+                np.asarray(gm[k]), np.asarray(gs[k]),
+                rtol=1e-4, atol=1e-5, err_msg=k,
+            )

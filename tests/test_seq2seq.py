@@ -159,3 +159,32 @@ def test_compact_transfer_loss_matches_fp32(rng):
     l_fp, _ = seq2seq.loss_fn(params, cfg, fp, train=False)
     l_c, _ = seq2seq.loss_fn(params, cfg, compact, train=False)
     np.testing.assert_allclose(float(l_fp), float(l_c), rtol=1e-6)
+
+
+@pytest.mark.parametrize("arch", ["av_align", "bimodal"])
+def test_fuse_encoder_scans_knob_is_numerically_invisible(arch, rng):
+    """train.fuse_encoder_scans batches the audio+video encoder scans into
+    one (paired_encoder_apply); loss and grads must be identical to the
+    unfused path."""
+    import dataclasses
+
+    cfg_on = tiny_config(arch)
+    assert cfg_on.train.fuse_encoder_scans
+    cfg_off = dataclasses.replace(
+        cfg_on, train=dataclasses.replace(cfg_on.train,
+                                          fuse_encoder_scans=False)
+    )
+    params = seq2seq.model_init(jax.random.PRNGKey(0), cfg_on, VOCAB)
+    batch = tiny_batch(arch, rng)
+
+    def loss(p, cfg):
+        l, _ = seq2seq.loss_fn(p, cfg, batch, train=False)
+        return l
+
+    l_on, g_on = jax.value_and_grad(loss)(params, cfg_on)
+    l_off, g_off = jax.value_and_grad(loss)(params, cfg_off)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_on),
+                    jax.tree_util.tree_leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
