@@ -189,6 +189,12 @@ class AVSR:
         self.train_loader = mk(train_utts)
         self.eval_loader = mk(eval_utts) if eval_utts is not None else None
 
+        if noise_bank is None and not noise_bank_record:
+            # config-file/CLI route: noise.bank_records ((type, path), ...)
+            if config.noise.bank_records:
+                noise_bank_record = {
+                    name: path for name, path in config.noise.bank_records
+                }
         if noise_bank is None and noise_bank_record:
             noise_bank = _load_noise_bank(noise_bank_record)
 

@@ -79,6 +79,19 @@ def cmd_train(args) -> int:
 
 def cmd_evaluate(args) -> int:
     avsr = _build_avsr(args)
+    if getattr(args, "matrix", False):
+        # Per-(noise type x SNR)-condition matrix (reference workflow: one
+        # error-rate file per condition).  Restore the checkpoint once.
+        if args.checkpoint is not None:
+            avsr.evaluate(checkpoint=args.checkpoint, use_beam=not args.greedy)
+        snrs: List[object] = [None]
+        if args.snrs:
+            snrs += [float(s) for s in args.snrs.split(",")]
+        results = avsr.evaluate_noise_matrix(
+            tuple(snrs), use_beam=not args.greedy
+        )
+        print(json.dumps(results))
+        return 0
     metrics = avsr.evaluate(checkpoint=args.checkpoint, use_beam=not args.greedy)
     print(json.dumps(metrics))
     return 0
@@ -95,13 +108,32 @@ def cmd_write_records(args) -> int:
     from avsr_tpu.data.synthetic import Utterance
     import numpy as np
 
+    if not args.synthetic and args.noise_out:
+        # noise-bank-only write (e.g. one file per noise TYPE for a typed
+        # babble/cafe bank: run once per type with different seeds)
+        bank = make_noise_bank(num_rows=4, row_samples=args.noise_samples,
+                               seed=args.seed + 1)
+        bank_utts = [
+            Utterance(uid=f"noise{i}", transcript="", waveform=bank[i])
+            for i in range(bank.shape[0])
+        ]
+        tfrecord.write_dataset(bank_utts, args.noise_out)
+        print(f"wrote noise bank -> {args.noise_out}")
+        return 0
     if args.synthetic:
+        if not args.out:
+            raise SystemExit("--synthetic requires --out")
         utts = generate(SyntheticSpec(num_utterances=args.synthetic,
-                                      seed=args.seed))
+                                      seed=args.seed,
+                                      min_chars=args.min_chars,
+                                      max_chars=args.max_chars,
+                                      char_duration_s=args.char_duration,
+                                      roi=args.roi))
         tfrecord.write_dataset(utts, args.out)
         print(f"wrote {len(utts)} synthetic utterances -> {args.out}")
         if args.noise_out:
-            bank = make_noise_bank(num_rows=4, row_samples=160_000,
+            bank = make_noise_bank(num_rows=4,
+                                   row_samples=args.noise_samples,
                                    seed=args.seed + 1)
             bank_utts = [
                 Utterance(uid=f"noise{i}", transcript="", waveform=bank[i])
@@ -146,6 +178,10 @@ def main(argv=None) -> int:
     common(p)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--greedy", action="store_true", help="greedy instead of beam")
+    p.add_argument("--matrix", action="store_true",
+                   help="per-(noise type x SNR) condition matrix")
+    p.add_argument("--snrs", default=None,
+                   help="comma-separated SNRs for --matrix (clean always runs)")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("decode", help="beam-decode the eval set")
@@ -157,9 +193,17 @@ def main(argv=None) -> int:
     p = sub.add_parser("write-records", help="serialize a dataset to TFRecords")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic utterances")
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", default=None,
+                   help="corpus output path (required with --synthetic)")
     p.add_argument("--noise-out", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--min-chars", type=int, default=2)
+    p.add_argument("--max-chars", type=int, default=6)
+    p.add_argument("--char-duration", type=float, default=0.12,
+                   help="seconds per character (sets utterance durations)")
+    p.add_argument("--roi", type=int, default=36, help="lip-ROI side length")
+    p.add_argument("--noise-samples", type=int, default=160_000,
+                   help="samples per noise-bank row")
     p.set_defaults(fn=cmd_write_records)
 
     p = sub.add_parser("show-config", help="print the resolved config")
@@ -167,6 +211,14 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_show_config)
 
     args = ap.parse_args(argv)
+    # Honor an EXPLICIT platform request: the environment's axon
+    # sitecustomize re-selects the TPU backend after import, so the env var
+    # alone is not enough (CLAUDE.md) — mirror tests/conftest.py.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and args.cmd != "write-records":
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     return args.fn(args)
 
 

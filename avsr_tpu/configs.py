@@ -143,6 +143,12 @@ class FusionConfig:
     # Feed the attended context into the next audio-LSTM step input
     # (input feeding), matching AttentionWrapper semantics.
     input_feeding: bool = True
+    # Learned down-projection of the attention VALUES (video memory) to this
+    # dim before the fusion scan (None = identity, reference parity).  The
+    # fusion scan is HBM-bandwidth-bound on re-reading values every step
+    # (RESULTS.md round-2 floor analysis) — streaming fewer bytes is the
+    # only remaining speedup; changes the model (context dim = value dim).
+    memory_value_dim: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -163,6 +169,11 @@ class DecoderConfig:
     # architecture="bimodal" hands the decoder two attention memories and it
     # builds one attention mechanism per memory (dual attention).
     max_label_length: int = 150
+    # Learned down-projection of each attention memory's VALUES to this dim
+    # (None = identity, reference parity).  Decode/teacher-forcing steps
+    # re-read the values every step (bandwidth floor) — smaller values
+    # stream fewer bytes; changes the model (context dim = value dim).
+    memory_value_dim: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -190,6 +201,11 @@ class NoiseConfig:
     # bank has more than one type).
     eval_snr_db: Optional[float] = None
     eval_noise_type: str = "babble"
+    # TFRecord noise-bank sources as ((type_name, path), ...) pairs — the
+    # config-file/CLI route to a typed bank (AVSR's noise_bank_record kwarg
+    # is the in-code route):
+    #   --set 'noise.bank_records=[["babble","b.tfrecord"],["cafe","c.tfrecord"]]'
+    bank_records: Optional[Tuple[Tuple[str, str], ...]] = None
 
 
 @dataclass(frozen=True)
@@ -257,11 +273,13 @@ class TrainConfig:
     # Rematerialization policy for the encoder/decoder scans.
     remat: bool = False
     # AV regimes: batch same-depth audio/video encoder layers into single
-    # scans (rnn.multi_fused_bilstm_scan) — TPU cores serialize independent
-    # scans, so fusing removes the video encoder's scan from the critical
-    # path.  Numerically identical either way (tested); knob exists for
-    # A/B measurement.
-    fuse_encoder_scans: bool = True
+    # scans (rnn.multi_fused_bilstm_scan).  Numerically identical either way
+    # (tested) but MEASURED SLOWER on v5e at the flagship shape (49.0 vs
+    # 47.0 ms/step, B=128: a G=4-batched gate matmul step costs ~2x a G=2
+    # step there, so padding video to T_audio loses more than the removed
+    # scan region saves — RESULTS.md round 3).  Off by default; the knob
+    # remains for other shapes (small B / T_v ~ T_a).
+    fuse_encoder_scans: bool = False
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 5
     save_every_steps: int = 0  # 0 = per-epoch only
@@ -352,9 +370,18 @@ def _dataclass_from_dict(cls: type, d: dict) -> Any:
             if nested is not None and isinstance(v, dict):
                 v = _dataclass_from_dict(nested, v)
         if isinstance(v, list):
-            v = tuple(v)
+            v = _deep_tuple(v)
         kwargs[f.name] = v
     return cls(**kwargs)
+
+
+def _deep_tuple(v: Any) -> Any:
+    """Lists (from JSON) -> tuples, recursively: configs must stay hashable
+    (they key the jitted-program caches), incl. nested pairs like
+    noise.bank_records."""
+    if isinstance(v, list):
+        return tuple(_deep_tuple(x) for x in v)
+    return v
 
 
 _NESTED = {

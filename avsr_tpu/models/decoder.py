@@ -49,7 +49,11 @@ def decoder_init(
     dtype=jnp.float32,
 ) -> Params:
     n_mem = len(memory_dims)
-    total_ctx = sum(memory_dims)
+    # With memory_value_dim set, each attention context (the tensor carried
+    # through input feeding and the output projection) has the projected
+    # value dim, not the raw memory dim.
+    ctx_dims = [cfg.memory_value_dim or m for m in memory_dims]
+    total_ctx = sum(ctx_dims)
     keys = jax.random.split(key, 3 + len(cfg.hidden_units) + n_mem)
     k_emb, k_out, k_outb = keys[0], keys[1], keys[2]
     cell_keys = keys[3 : 3 + len(cfg.hidden_units)]
@@ -67,7 +71,9 @@ def decoder_init(
     top = cfg.hidden_units[-1]
     for k, m in zip(att_keys, memory_dims):
         params["atts"].append(
-            attn.attention_init(cfg.attention_type, k, top, m, cfg.attention_units, dtype)
+            attn.attention_init(cfg.attention_type, k, top, m,
+                                cfg.attention_units, dtype,
+                                value_dim=cfg.memory_value_dim)
         )
     # Output projection reads [h_top ; contexts] (TF1 attention-layer style).
     params["out_w"] = glorot_uniform(k_out, (top + total_ctx, vocab_size), dtype)

@@ -56,15 +56,19 @@ def av_align_init(
         "cell": rnn.lstm_init(k_cell, audio_input_dim, audio_hidden, dtype),
         "att": attn.attention_init(
             cfg.attention_type, k_att, audio_hidden, video_dim,
-            cfg.attention_units, dtype,
+            cfg.attention_units, dtype, value_dim=cfg.memory_value_dim,
         ),
     }
+    # With memory_value_dim set, the attended context (and hence the fused
+    # memory's visual half, the input-feeding path, and the AU head input)
+    # has the projected dim.
+    ctx_dim = cfg.memory_value_dim or video_dim
     if cfg.input_feeding:
         params["ctx_proj"] = glorot_uniform(
-            k_ctx, (video_dim, 4 * audio_hidden), dtype
+            k_ctx, (ctx_dim, 4 * audio_hidden), dtype
         )
     if cfg.au_loss_weight > 0.0:
-        params["au_w"] = glorot_uniform(k_au, (video_dim, cfg.au_dim), dtype)
+        params["au_w"] = glorot_uniform(k_au, (ctx_dim, cfg.au_dim), dtype)
         params["au_b"] = jnp.zeros((cfg.au_dim,), dtype)
     return params
 
@@ -90,12 +94,12 @@ def av_align_apply(
     """
     T_a, B, _ = audio_tbd.shape
     H = params["cell"]["wh"].shape[0]
-    Hv = video_memory.shape[-1]
 
     mem = attn.prepare_memory(
         cfg.attention_type, params["att"], video_memory, video_lengths,
         compute_dtype=compute_dtype,
     )
+    Hv = mem.values.shape[-1]  # = video dim, or memory_value_dim if projected
     # Hoisted acoustic-input projection: [T_a, B, 4H] in one matmul.
     xw = jnp.einsum(
         "tbd,dg->tbg",

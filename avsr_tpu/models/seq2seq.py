@@ -84,7 +84,9 @@ def model_init(key, cfg: ExperimentConfig, vocab_size: int) -> Params:
         params["fusion"] = fus.av_align_init(
             keys[3], cfg.fusion, audio_out, fusion_hidden, video_out
         )
-        memory_dims = [fusion_hidden + video_out]
+        # fused memory = [audio LSTM state ; attended visual context]; the
+        # context half shrinks to memory_value_dim when values are projected
+        memory_dims = [fusion_hidden + (cfg.fusion.memory_value_dim or video_out)]
     elif arch == "bimodal":
         memory_dims = [audio_out, video_out]
     else:
@@ -110,7 +112,10 @@ def memory_dims_of(cfg: ExperimentConfig) -> List[int]:
     if arch == "video":
         return [video_out]
     if arch == "av_align":
-        return [cfg.audio_encoder.hidden_units[-1] + video_out]
+        return [
+            cfg.audio_encoder.hidden_units[-1]
+            + (cfg.fusion.memory_value_dim or video_out)
+        ]
     if arch == "bimodal":
         return [audio_out, video_out]
     raise ValueError(arch)

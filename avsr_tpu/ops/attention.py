@@ -27,34 +27,49 @@ NEG_INF = -1e30
 class AttentionMemory(NamedTuple):
     """Preprocessed attention memory (compute keys once, query many times)."""
 
-    values: jnp.ndarray  # [B, S, H]  memory vectors (decoder reads these)
+    values: jnp.ndarray  # [B, S, V]  memory vectors (decoder reads these);
+                         # V = memory dim, or value_dim when down-projected
     keys: jnp.ndarray    # [B, S, A]  projected keys (Bahdanau) or [B, S, H] (Luong)
     mask: jnp.ndarray    # [B, S]     1.0 = valid position
     bias: jnp.ndarray    # [B, S]     0 where valid, NEG_INF where padded
 
 
 def bahdanau_init(key, query_dim: int, memory_dim: int, attention_units: int,
-                  dtype=jnp.float32) -> Params:
-    kq, km, kv = jax.random.split(key, 3)
-    return {
+                  dtype=jnp.float32, value_dim: Optional[int] = None) -> Params:
+    kq, km, kv, kvp = jax.random.split(key, 4)
+    params = {
         "wq": glorot_uniform(kq, (query_dim, attention_units), dtype),
         "wm": glorot_uniform(km, (memory_dim, attention_units), dtype),
         "v": glorot_uniform(kv, (attention_units, 1), dtype).squeeze(-1),
     }
+    if value_dim is not None:
+        params["wv"] = glorot_uniform(kvp, (memory_dim, value_dim), dtype)
+    return params
 
 
 def luong_init(key, query_dim: int, memory_dim: int, attention_units: int = 0,
-               dtype=jnp.float32) -> Params:
+               dtype=jnp.float32, value_dim: Optional[int] = None) -> Params:
     # Luong "general": score = q W m ; W maps query_dim -> memory_dim.
-    return {"wq": glorot_uniform(key, (query_dim, memory_dim), dtype)}
+    kq, kvp = jax.random.split(key)
+    params = {"wq": glorot_uniform(kq, (query_dim, memory_dim), dtype)}
+    if value_dim is not None:
+        params["wv"] = glorot_uniform(kvp, (memory_dim, value_dim), dtype)
+    return params
 
 
 def attention_init(attention_type: str, key, query_dim: int, memory_dim: int,
-                   attention_units: int, dtype=jnp.float32) -> Params:
+                   attention_units: int, dtype=jnp.float32,
+                   value_dim: Optional[int] = None) -> Params:
+    """``value_dim`` adds a learned down-projection of the attention VALUES
+    (scores/keys still see the full memory): per-query-step reads stream
+    value_dim instead of memory_dim floats — the bandwidth knob for
+    value-streaming-bound attention scans (RESULTS.md round-2 floor)."""
     if attention_type == "bahdanau":
-        return bahdanau_init(key, query_dim, memory_dim, attention_units, dtype)
+        return bahdanau_init(key, query_dim, memory_dim, attention_units,
+                             dtype, value_dim=value_dim)
     if attention_type == "luong":
-        return luong_init(key, query_dim, memory_dim, attention_units, dtype)
+        return luong_init(key, query_dim, memory_dim, attention_units, dtype,
+                          value_dim=value_dim)
     raise ValueError(f"unknown attention type {attention_type}")
 
 
@@ -79,7 +94,18 @@ def prepare_memory(
         )
     else:  # luong: keys are the raw memory
         keys = memory
-    return AttentionMemory(values=memory, keys=keys, mask=mask, bias=bias)
+    values = memory
+    if "wv" in params:
+        # Value down-projection, applied ONCE here (one MXU matmul over the
+        # whole memory) so every subsequent per-step read streams the small
+        # tensor instead of the raw memory.
+        values = jnp.einsum(
+            "bsh,hv->bsv",
+            memory.astype(compute_dtype),
+            params["wv"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return AttentionMemory(values=values, keys=keys, mask=mask, bias=bias)
 
 
 def attend(

@@ -41,14 +41,20 @@ def _encoder_flops(cfg_enc, batch: int, steps: int, input_dim: int) -> float:
 
 def _attention_flops(
     batch: int, queries: int, memory_len: int, memory_dim: int,
-    query_dim: int, att_units: int,
+    query_dim: int, att_units: int, value_dim=None,
 ) -> float:
-    """Bahdanau-style: keys projected once, then per-query score + context."""
+    """Bahdanau-style: keys projected once, then per-query score + context.
+    ``value_dim`` adds the one-time value down-projection and shrinks the
+    per-query context read (attention.py memory_value_dim)."""
     keys = 2.0 * batch * memory_len * memory_dim * att_units
     query_proj = 2.0 * batch * queries * query_dim * att_units
     energies = 2.0 * batch * queries * memory_len * att_units
-    context = 2.0 * batch * queries * memory_len * memory_dim
-    return keys + query_proj + energies + context
+    v_dim = value_dim or memory_dim
+    value_proj = (
+        2.0 * batch * memory_len * memory_dim * value_dim if value_dim else 0.0
+    )
+    context = 2.0 * batch * queries * memory_len * v_dim
+    return keys + query_proj + energies + value_proj + context
 
 
 def train_step_flops(
@@ -125,29 +131,33 @@ def train_step_flops(
         memory_lens = [T_a, video_frames]
     else:  # av_align
         H = cfg.audio_encoder.hidden_units[-1]
+        ctx_v = cfg.fusion.memory_value_dim or video_out
         fusion = _lstm_flops(batch, T_a, audio_out, H)
         if cfg.fusion.input_feeding:  # ctx -> 4H projection inside the scan
-            fusion += 2.0 * batch * T_a * video_out * 4 * H
+            fusion += 2.0 * batch * T_a * ctx_v * 4 * H
         fusion += _attention_flops(batch, T_a, video_frames, video_out, H,
-                                   cfg.fusion.attention_units)
+                                   cfg.fusion.attention_units,
+                                   value_dim=cfg.fusion.memory_value_dim)
         if cfg.fusion.au_loss_weight > 0.0:
-            fusion += 2.0 * batch * T_a * video_out * cfg.fusion.au_dim
+            fusion += 2.0 * batch * T_a * ctx_v * cfg.fusion.au_dim
         comps["fusion"] = {"fwd": fusion, "factor": 4.0}  # remat'd scan body
-        memory_dims = [H + video_out]
+        memory_dims = [H + ctx_v]
         memory_lens = [T_a]
 
     # Decoder: input-fed LSTM stack + one attention per memory + out proj.
     d = cfg.decoder
     dec = 0.0
-    in_dim = d.embedding_dim + sum(memory_dims)
+    ctx_dims = [d.memory_value_dim or m for m in memory_dims]
+    in_dim = d.embedding_dim + sum(ctx_dims)
     for h in d.hidden_units:
         dec += _lstm_flops(batch, label_len, in_dim, h)
         in_dim = h
     top = d.hidden_units[-1]
     for m_dim, m_len in zip(memory_dims, memory_lens):
         dec += _attention_flops(batch, label_len, m_len, m_dim, top,
-                                d.attention_units)
-    dec += 2.0 * batch * label_len * (top + sum(memory_dims)) * vocab
+                                d.attention_units,
+                                value_dim=d.memory_value_dim)
+    dec += 2.0 * batch * label_len * (top + sum(ctx_dims)) * vocab
     comps["decoder"] = {"fwd": dec, "factor": 4.0}  # remat'd scan body
 
     out: Dict[str, float] = {}

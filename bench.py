@@ -27,6 +27,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -60,6 +61,14 @@ def main() -> None:
     from avsr_tpu.models.seq2seq import Batch
     from avsr_tpu.train import step as step_lib
 
+    # A/B environment knobs (perf experiments; defaults = flagship config):
+    #   AVSR_BENCH_FUSE=1            enable train.fuse_encoder_scans
+    #   AVSR_BENCH_FUSION_VDIM=256   fusion.memory_value_dim (0/unset = off)
+    #   AVSR_BENCH_DECODER_VDIM=256  decoder.memory_value_dim (0/unset = off)
+    fuse = os.environ.get("AVSR_BENCH_FUSE", "0") == "1"
+    f_vdim = int(os.environ.get("AVSR_BENCH_FUSION_VDIM", "0")) or None
+    d_vdim = int(os.environ.get("AVSR_BENCH_DECODER_VDIM", "0")) or None
+
     cfg = ExperimentConfig(
         architecture="av_align",
         audio=AudioFrontendConfig(),  # 30 mel + deltas, stack 8 skip 3
@@ -67,12 +76,14 @@ def main() -> None:
         audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
                                     bidirectional=True, dropout_rate=0.1),
         video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
-        fusion=FusionConfig(attention_units=128),
+        fusion=FusionConfig(attention_units=128, memory_value_dim=f_vdim),
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
                               attention_units=128,
                               max_label_length=LABEL_LEN,
-                              sampling_probability=0.1),
-        train=TrainConfig(compute_dtype="bfloat16"),
+                              sampling_probability=0.1,
+                              memory_value_dim=d_vdim),
+        train=TrainConfig(compute_dtype="bfloat16",
+                          fuse_encoder_scans=fuse),
         name="bench_av_align",
     )
 

@@ -68,3 +68,36 @@ def test_fully_masked_memory_gives_zero_context(rng):
     ctx, w = attn.attend("bahdanau", params, query, mem, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(w), 0.0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(ctx), 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("att_type", ["bahdanau", "luong"])
+def test_value_down_projection(rng, att_type):
+    """value_dim projects the attended VALUES (context dim = value_dim)
+    while scores still see the full memory; weights are unchanged vs the
+    unprojected mechanism and the context is the weights applied to the
+    projected memory."""
+    B, S, H, Q, A, V = 2, 6, 8, 5, 4, 3
+    params = attn.attention_init(att_type, jax.random.PRNGKey(2), Q, H, A,
+                                 value_dim=V)
+    assert params["wv"].shape == (H, V)
+    memory = jnp.asarray(rng.standard_normal((B, S, H)).astype(np.float32))
+    lengths = jnp.asarray([6, 4], jnp.int32)
+    mem = attn.prepare_memory(att_type, params, memory, lengths,
+                              compute_dtype=jnp.float32)
+    assert mem.values.shape == (B, S, V)
+    query = jnp.asarray(rng.standard_normal((B, Q)).astype(np.float32))
+    ctx, w = attn.attend(att_type, params, query, mem,
+                         compute_dtype=jnp.float32)
+    assert ctx.shape == (B, V)
+    # scores/weights identical to the unprojected mechanism (same wq/wm/v)
+    params_nov = {k: v for k, v in params.items() if k != "wv"}
+    mem_nov = attn.prepare_memory(att_type, params_nov, memory, lengths,
+                                  compute_dtype=jnp.float32)
+    _, w_nov = attn.attend(att_type, params_nov, query, mem_nov,
+                           compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_nov), rtol=1e-6)
+    # context == weights @ (memory @ wv)
+    proj = np.asarray(memory) @ np.asarray(params["wv"])
+    manual = np.einsum("bs,bsv->bv", np.asarray(w), proj)
+    np.testing.assert_allclose(np.asarray(ctx), manual, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w)[1, 4:], 0.0, atol=1e-12)

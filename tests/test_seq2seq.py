@@ -168,11 +168,12 @@ def test_fuse_encoder_scans_knob_is_numerically_invisible(arch, rng):
     unfused path."""
     import dataclasses
 
-    cfg_on = tiny_config(arch)
-    assert cfg_on.train.fuse_encoder_scans
+    base = tiny_config(arch)
+    cfg_on = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, fuse_encoder_scans=True)
+    )
     cfg_off = dataclasses.replace(
-        cfg_on, train=dataclasses.replace(cfg_on.train,
-                                          fuse_encoder_scans=False)
+        base, train=dataclasses.replace(base.train, fuse_encoder_scans=False)
     )
     params = seq2seq.model_init(jax.random.PRNGKey(0), cfg_on, VOCAB)
     batch = tiny_batch(arch, rng)
@@ -188,3 +189,48 @@ def test_fuse_encoder_scans_knob_is_numerically_invisible(arch, rng):
                     jax.tree_util.tree_leaves(g_off)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("arch", ["av_align", "bimodal", "audio"])
+def test_memory_value_down_projection_end_to_end(arch, rng):
+    """memory_value_dim on fusion and decoder: forward/loss/grads and both
+    decode paths run with projected value dims (the bandwidth knob for the
+    value-streaming floor, VERDICT round-2 next #3)."""
+    import dataclasses
+
+    from avsr_tpu.decode.beam import beam_search
+    from avsr_tpu.decode.greedy import greedy_decode
+
+    cfg = tiny_config(arch)
+    cfg = dataclasses.replace(
+        cfg,
+        fusion=dataclasses.replace(cfg.fusion, memory_value_dim=8),
+        decoder=dataclasses.replace(cfg.decoder, memory_value_dim=12),
+    )
+    params = seq2seq.model_init(jax.random.PRNGKey(0), cfg, VOCAB)
+    batch = tiny_batch(arch, rng)
+    (loss, metrics), grads = jax.value_and_grad(
+        lambda p: seq2seq.loss_fn(p, cfg, batch, train=True,
+                                  rng=jax.random.PRNGKey(1)),
+        has_aux=True,
+    )(params)
+    assert np.isfinite(float(loss))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(g)))
+    out = seq2seq.encode(params, cfg, batch, train=False)
+    for mem in out.memories:
+        assert mem.values.shape[-1] == 12
+    if arch == "av_align":
+        # fused memory dim = audio hidden + projected visual context
+        assert out.memories[0].keys.shape[1] == out.memories[0].values.shape[1]
+        assert seq2seq.memory_dims_of(cfg) == [16 + 8]
+    ids, _ = greedy_decode(
+        params["decoder"], cfg.decoder, out.memories, 6,
+        compute_dtype=jnp.float32,
+    )
+    assert ids.shape[1] == 6
+    res = beam_search(
+        params["decoder"], cfg.decoder, out.memories, 6, beam_width=3,
+        compute_dtype=jnp.float32,
+    )
+    assert res.ids.shape[1] == 6
