@@ -146,3 +146,164 @@ def test_write_corpus_manifest(tmp_path):
     assert got[0].uid == "u0" and got[0].transcript == "hello"
     assert got[0].waveform.shape == (8000,)
     assert got[0].au.shape == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# tracked ROI pipeline (synthetic video with a known moving mouth)
+# ---------------------------------------------------------------------------
+
+
+def synth_face_video(T=40, H=120, W=160, jitter=0.0, drop_every=0,
+                     seed=0, mouth_move=True):
+    """Synthetic talking head: bright face square drifting right, a mouth
+    blob oscillating inside its lower third.  Returns (frames [T,H,W],
+    detections per frame (with optional jitter/dropouts), true mouth
+    centers [T, 2])."""
+    rng = np.random.default_rng(seed)
+    frames = np.zeros((T, H, W), np.float32)
+    dets, centers = [], []
+    fw = fh = 60
+    for t in range(T):
+        fx = 30 + t * 0.5          # slow drift
+        fy = 25.0
+        face = (int(round(fx)), int(round(fy)))
+        frames[t, face[1]:face[1]+fh, face[0]:face[0]+fw] = 0.35
+        # mouth: blob centered in the lower third, oscillating open/closed
+        mcx = fx + fw / 2.0
+        mcy = fy + fh * 5.0 / 6.0
+        open_amt = 3.0 + (2.5 * np.sin(t * 1.1) if mouth_move else 0.0)
+        yy, xx = np.mgrid[0:H, 0:W]
+        blob = np.exp(-(((xx - mcx) / 6.0) ** 2
+                        + ((yy - mcy) / open_amt) ** 2))
+        frames[t] += 0.6 * blob
+        centers.append((mcx, mcy))
+        det = None
+        if not (drop_every and t % drop_every):
+            jx, jy = rng.normal(0, jitter, 2) if jitter else (0.0, 0.0)
+            det = (fx + jx, fy + jy, fw, fh)
+        dets.append(det)
+    return frames, dets, np.asarray(centers, np.float32)
+
+
+def roi_center_error(frames, dets, centers, **kw):
+    """Mean distance between each frame's crop center and the true mouth."""
+    from avsr_tpu.data.ingest import motion_mouth_center, track_boxes
+
+    boxes = track_boxes(dets, frames.shape[1:], kw.get("smooth_window", 7))
+    if kw.get("use_motion", True):
+        cx, cy = motion_mouth_center(frames, boxes)
+    else:
+        cx, cy = 0.5, 5.0 / 6.0
+    errs = []
+    for t in range(frames.shape[0]):
+        x, y, w, h = boxes[t]
+        errs.append(np.hypot(x + cx * w - centers[t, 0],
+                             y + cy * h - centers[t, 1]))
+    return float(np.mean(errs))
+
+
+def test_tracked_roi_center_error_bounded():
+    """VERDICT round-2 next #6 'done' bar: ROI center error bounded on a
+    synthetic fixture with a known moving mouth."""
+    frames, dets, centers = synth_face_video(jitter=4.0, drop_every=3, seed=1)
+    err = roi_center_error(frames, dets, centers)
+    assert err < 6.0, err  # within ~10% of the 60 px face box
+
+    rois = ingest.rois_from_frames(frames, dets, roi_size=36)
+    assert rois.shape == (40, 36, 36, 1)
+    assert 0.0 <= rois.min() and rois.max() <= 1.0
+    # the mouth blob (brightest object) must actually be in the crops
+    assert rois.max() > 0.5
+
+
+def test_tracking_beats_unsmoothed_jittery_detections():
+    frames, dets, centers = synth_face_video(jitter=6.0, drop_every=4, seed=2)
+    smoothed = roi_center_error(frames, dets, centers, smooth_window=9)
+    raw = roi_center_error(frames, dets, centers, smooth_window=1)
+    assert smoothed <= raw + 1e-6, (smoothed, raw)
+
+
+def test_motion_localization_beats_geometric_prior_when_mouth_off_center():
+    """Shift the true mouth off the geometric lower-third center: motion
+    energy must pull the crop toward it."""
+    frames, dets, centers = synth_face_video(seed=3)
+    # displace the mouth blob: regenerate with mouth at 0.35 of face width
+    T, H, W = frames.shape
+    frames2 = np.zeros_like(frames)
+    centers2 = []
+    fw = fh = 60
+    for t in range(T):
+        fx, fy = 30 + t * 0.5, 25.0
+        frames2[t, int(fy):int(fy)+fh, int(round(fx)):int(round(fx))+fw] = 0.35
+        mcx = fx + fw * 0.35
+        mcy = fy + fh * 0.72
+        open_amt = 3.0 + 2.5 * np.sin(t * 1.1)
+        yy, xx = np.mgrid[0:H, 0:W]
+        frames2[t] += 0.6 * np.exp(-(((xx - mcx) / 6.0) ** 2
+                                     + ((yy - mcy) / open_amt) ** 2))
+        centers2.append((mcx, mcy))
+    centers2 = np.asarray(centers2, np.float32)
+    with_motion = roi_center_error(frames2, dets, centers2, use_motion=True)
+    without = roi_center_error(frames2, dets, centers2, use_motion=False)
+    assert with_motion < without, (with_motion, without)
+    assert with_motion < 6.0, with_motion
+
+
+def test_track_boxes_interpolates_and_falls_back():
+    from avsr_tpu.data.ingest import track_boxes
+
+    # interpolation across a dropout
+    dets = [(10.0, 20.0, 30.0, 30.0), None, (14.0, 20.0, 30.0, 30.0)]
+    track = track_boxes(dets, (100, 100), smooth_window=1)
+    np.testing.assert_allclose(track[1], [12.0, 20.0, 30.0, 30.0])
+    # no detections at all -> centered lower-third fallback, all frames
+    track = track_boxes([None, None], (90, 120), smooth_window=1)
+    np.testing.assert_allclose(track[0], [40.0, 60.0, 40.0, 30.0])
+    np.testing.assert_allclose(track[0], track[1])
+
+
+def test_landmark_rois_and_openface_csv(tmp_path):
+    """Reference-parity path: OpenFace 68-point CSV -> mouth-hull crops
+    centered on the true mouth."""
+    frames, _, centers = synth_face_video(seed=4)
+    T = frames.shape[0]
+    # synthesize landmarks: mouth points (48-67) ring the true mouth center
+    lms = np.zeros((T, 68, 2), np.float32)
+    ang = np.linspace(0, 2 * np.pi, 20, endpoint=False)
+    for t in range(T):
+        lms[t, :, 0] = centers[t, 0]  # park non-mouth points at the center
+        lms[t, :, 1] = centers[t, 1]
+        lms[t, 48:68, 0] = centers[t, 0] + 10.0 * np.cos(ang)
+        lms[t, 48:68, 1] = centers[t, 1] + 5.0 * np.sin(ang)
+    rois = ingest.rois_from_landmarks(frames, lms, roi_size=36)
+    assert rois.shape == (T, 36, 36, 1)
+    # the crop is centered on the mouth: the blob peak sits mid-crop
+    mid = rois[:, 10:26, 10:26, 0].max()
+    assert mid == rois.max()
+
+    # CSV round trip
+    path = str(tmp_path / "of.csv")
+    cols = (["frame"] + [f"x_{i}" for i in range(68)]
+            + [f"y_{i}" for i in range(68)])
+    with open(path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        for t in range(T):
+            row = [str(t)] + [f"{v:.2f}" for v in lms[t, :, 0]] \
+                + [f"{v:.2f}" for v in lms[t, :, 1]]
+            f.write(",".join(row) + "\n")
+    loaded = ingest.load_openface_landmarks(path)
+    np.testing.assert_allclose(loaded, lms, atol=0.01)
+
+
+def test_build_utterance_roi_npy_import(tmp_path):
+    """Externally-extracted ROI stacks import verbatim (uint8 normalized)."""
+    rois = (np.random.default_rng(5).random((7, 36, 36)) * 255).astype(
+        np.uint8)
+    path = str(tmp_path / "rois.npy")
+    np.save(path, rois)
+    utt = ingest.build_utterance("u0", "ab", roi_npy_path=path)
+    assert utt.video.shape == (7, 36, 36, 1)
+    assert utt.video.max() <= 1.0
+    np.testing.assert_allclose(
+        utt.video[..., 0], rois.astype(np.float32) / 255.0, atol=1e-6
+    )
