@@ -61,13 +61,18 @@ def main() -> None:
     from avsr_tpu.models.seq2seq import Batch
     from avsr_tpu.train import step as step_lib
 
-    # A/B environment knobs (perf experiments; defaults = flagship config):
+    # A/B environment knobs (perf experiments).  Flagship defaults adopt
+    # the measured round-3 winners: 256-dim value down-projection on the
+    # fusion AND decoder attention memories (47.02 -> 42.0 ms/step, the
+    # only lever that beats the value-streaming bandwidth floor; quality
+    # gated by the overfit test tests/test_train_loop.py).  Set =0 for the
+    # unprojected reference-parity model (paper dims).
     #   AVSR_BENCH_FUSE=1            enable train.fuse_encoder_scans
-    #   AVSR_BENCH_FUSION_VDIM=256   fusion.memory_value_dim (0/unset = off)
-    #   AVSR_BENCH_DECODER_VDIM=256  decoder.memory_value_dim (0/unset = off)
+    #   AVSR_BENCH_FUSION_VDIM=N     fusion.memory_value_dim (0 = off)
+    #   AVSR_BENCH_DECODER_VDIM=N    decoder.memory_value_dim (0 = off)
     fuse = os.environ.get("AVSR_BENCH_FUSE", "0") == "1"
-    f_vdim = int(os.environ.get("AVSR_BENCH_FUSION_VDIM", "0")) or None
-    d_vdim = int(os.environ.get("AVSR_BENCH_DECODER_VDIM", "0")) or None
+    f_vdim = int(os.environ.get("AVSR_BENCH_FUSION_VDIM", "256")) or None
+    d_vdim = int(os.environ.get("AVSR_BENCH_DECODER_VDIM", "256")) or None
 
     cfg = ExperimentConfig(
         architecture="av_align",

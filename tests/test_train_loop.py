@@ -378,3 +378,22 @@ def test_checkpoint_collision_with_previous_run_overwrites(tmp_path):
     _, extra2, _ = run2.restore(state(0.0))
     assert extra2 == {"epoch": 1, "batches_done": 0}
     run2.close()
+
+
+def test_overfit_av_align_with_value_projection(tmp_path, data):
+    """Qualitative parity gate for memory_value_dim (VERDICT round-2 next
+    #3): the value-projected AV-Align model must still overfit the
+    synthetic set to low CER."""
+    import dataclasses
+
+    cfg = overfit_config("av_align", str(tmp_path), epochs=30)
+    cfg = dataclasses.replace(
+        cfg,
+        fusion=dataclasses.replace(cfg.fusion, memory_value_dim=32),
+        decoder=dataclasses.replace(cfg.decoder, memory_value_dim=48),
+    )
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runvp"),
+                train_utterances=data, eval_utterances=data)
+    avsr.train(num_epochs=cfg.train.num_epochs)
+    summary = avsr.evaluate(use_beam=True)
+    assert summary["cer"] < 0.35, summary
