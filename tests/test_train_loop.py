@@ -386,7 +386,7 @@ def test_overfit_av_align_with_value_projection(tmp_path, data):
     synthetic set to low CER."""
     import dataclasses
 
-    cfg = overfit_config("av_align", str(tmp_path), epochs=30)
+    cfg = overfit_config("av_align", str(tmp_path), epochs=45)
     cfg = dataclasses.replace(
         cfg,
         fusion=dataclasses.replace(cfg.fusion, memory_value_dim=32),
