@@ -129,7 +129,7 @@ def cmd_write_records(args) -> int:
                                       max_chars=args.max_chars,
                                       char_duration_s=args.char_duration,
                                       roi=args.roi))
-        tfrecord.write_dataset(utts, args.out)
+        tfrecord.write_dataset(utts, args.out, video_codec=args.video_codec)
         print(f"wrote {len(utts)} synthetic utterances -> {args.out}")
         if args.noise_out:
             bank = make_noise_bank(num_rows=4,
@@ -204,6 +204,9 @@ def main(argv=None) -> int:
     p.add_argument("--roi", type=int, default=36, help="lip-ROI side length")
     p.add_argument("--noise-samples", type=int, default=160_000,
                    help="samples per noise-bank row")
+    p.add_argument("--video-codec", default="float32",
+                   choices=("float32", "uint8"),
+                   help="ROI storage codec (uint8 = 4x smaller records)")
     p.set_defaults(fn=cmd_write_records)
 
     p = sub.add_parser("show-config", help="print the resolved config")

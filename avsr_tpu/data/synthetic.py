@@ -83,9 +83,14 @@ def generate(spec: SyntheticSpec = SyntheticSpec()) -> List[Utterance]:
             c = text[min(int(f / fpc), k - 1)]
             cx, cy = _char_blob(c, spec.roi)
             blob = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 2.5**2))
-            vid[f, :, :, 0] = blob + 0.05 * rng.standard_normal(
-                (spec.roi, spec.roi)
-            ).astype(np.float32)
+            # clip to [0, 1]: lip-ROI crops are pixel data, and the compact
+            # uint8 transfer/storage codecs require that range
+            vid[f, :, :, 0] = np.clip(
+                blob + 0.05 * rng.standard_normal(
+                    (spec.roi, spec.roi)
+                ).astype(np.float32),
+                0.0, 1.0,
+            )
             au[f, 0] = cx / spec.roi
             au[f, 1 % spec.au_dim] = cy / spec.roi
         utts.append(

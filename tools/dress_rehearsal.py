@@ -147,7 +147,7 @@ def main() -> int:
     args = ap.parse_args()
 
     quick = args.quick
-    n_train = args.utts or (256 if quick else 2400)
+    n_train = args.utts or (256 if quick else 2800)
     work = args.workdir or tempfile.mkdtemp(prefix="avsr_rehearsal_")
     os.makedirs(work, exist_ok=True)
     checks = {}
@@ -156,10 +156,12 @@ def main() -> int:
     # ---- 1. write-records ------------------------------------------------
     run(CLI + ["write-records", "--synthetic", str(n_train),
                "--out", f"{work}/train.tfrecord", "--char-duration", "0.08",
-               "--min-chars", "20", "--max-chars", "55", "--seed", "0"])
+               "--min-chars", "20", "--max-chars", "55", "--seed", "0",
+               "--video-codec", "uint8"])
     run(CLI + ["write-records", "--synthetic", "48",
                "--out", f"{work}/eval.tfrecord", "--char-duration", "0.08",
-               "--min-chars", "20", "--max-chars", "55", "--seed", "100"])
+               "--min-chars", "20", "--max-chars", "55", "--seed", "100",
+               "--video-codec", "uint8"])
     run(CLI + ["write-records", "--noise-out", f"{work}/babble.tfrecord",
                "--noise-samples", "200000", "--seed", "7"])
     run(CLI + ["write-records", "--noise-out", f"{work}/cafe.tfrecord",
