@@ -233,6 +233,12 @@ class DataConfig:
     # max_label_length (reference behavior).  Labels longer than the cap are
     # truncated, exactly as max_label_length already truncates.
     label_bucket_caps: Optional[Tuple[int, ...]] = None
+    # Optional per-bucket batch sizes (same length as the boundaries).
+    # Short buckets amortize fixed scan latency over more examples, and the
+    # longest buckets can shrink below batch_size to stay inside the HBM
+    # working set (the 10 s bucket measured SUPERLINEAR step cost at B=128
+    # — RESULTS.md round 3).  None = batch_size for every bucket.
+    bucket_batch_sizes: Optional[Tuple[int, ...]] = None
     video_fps: float = 25.0
     max_audio_seconds: float = 16.0
     max_label_length: int = 150

@@ -113,6 +113,12 @@ class BucketingLoader:
                 f"label_bucket_caps ({len(caps)}) must match "
                 f"audio_bucket_boundaries ({len(bounds)})"
             )
+        bbs = self.cfg.bucket_batch_sizes
+        if bbs is not None and len(bbs) != len(bounds):
+            raise ValueError(
+                f"bucket_batch_sizes ({len(bbs)}) must match "
+                f"audio_bucket_boundaries ({len(bounds)})"
+            )
         shapes = {}
         max_label = self.cfg.max_label_length
         for i, b in enumerate(bounds):
@@ -149,6 +155,12 @@ class BucketingLoader:
                 )
         return self._video_sig
 
+    def batch_size_for(self, bucket: int) -> int:
+        """This bucket's batch size (DataConfig.bucket_batch_sizes, falling
+        back to the global batch_size)."""
+        bbs = self.cfg.bucket_batch_sizes
+        return self.cfg.batch_size if bbs is None else int(bbs[bucket])
+
     def set_epoch(self, epoch: int) -> None:
         """Pin the epoch counter so the NEXT ``epoch()`` call reproduces the
         shuffle order of training epoch ``epoch`` (orders are deterministic
@@ -159,6 +171,9 @@ class BucketingLoader:
     # -- iteration ----------------------------------------------------------
 
     def __len__(self) -> int:
+        """Approximate batches/epoch (exact for uniform batch sizes; with
+        bucket_batch_sizes it estimates using the global batch_size — used
+        only for lr-schedule horizon and progress reporting)."""
         return int(np.ceil(len(self.utts) / self.cfg.batch_size))
 
     def epoch(self, shuffle: bool = True) -> Iterator[Tuple[int, NumpyBatch]]:
@@ -185,12 +200,12 @@ class BucketingLoader:
                 )
             b = _bucket_for(int(length), self.cfg.audio_bucket_boundaries)
             buckets.setdefault(b, []).append(u)
-            if len(buckets[b]) == self.cfg.batch_size:
+            if len(buckets[b]) == self.batch_size_for(b):
                 yield b, self._assemble(b, buckets.pop(b))
         # flush partial batches, repeating rows to keep shapes static
         for b, batch_utts in buckets.items():
             n_real = len(batch_utts)
-            while len(batch_utts) < self.cfg.batch_size:
+            while len(batch_utts) < self.batch_size_for(b):
                 batch_utts.append(batch_utts[len(batch_utts) % n_real])
             yield b, self._assemble(b, batch_utts, n_real=n_real)
 

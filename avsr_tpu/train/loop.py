@@ -214,8 +214,11 @@ class Trainer:
         if not hasattr(loader, "bucket_shapes"):
             return 0
         n = 0
+        bs_for = getattr(
+            loader, "batch_size_for", lambda b: self.cfg.data.batch_size
+        )
         for b, shp in sorted(loader.bucket_shapes().items()):
-            np_batch = self._dummy_batch(shp)
+            np_batch = self._dummy_batch(shp, bs_for(b))
             batch = self._place(to_model_batch(np_batch))
             # jnp.copy, NOT asarray: the jitted step donates its state
             # argument, so passing self.state's own buffers would
@@ -231,12 +234,12 @@ class Trainer:
             )
         return n
 
-    def _dummy_batch(self, shp):
+    def _dummy_batch(self, shp, batch_size: Optional[int] = None):
         """Zero batch matching one bucket's static shapes (and the
         transfer dtypes), mirroring BucketingLoader._assemble."""
         cfg = self.cfg
         loader = self.train_loader
-        B = cfg.data.batch_size
+        B = batch_size if batch_size is not None else cfg.data.batch_size
         compact = cfg.data.transfer_dtype == "compact"
         arch = cfg.architecture
         out = {

@@ -235,3 +235,20 @@ def test_video_signature_roi_and_au():
     assert au.video_signature() == ("au", (2,))
     aud = BucketingLoader([roi_utt], units, cfg, require_video=False)
     assert aud.video_signature() is None
+
+
+def test_bucket_batch_sizes():
+    """Per-bucket batch sizes: short buckets batch wider, long buckets
+    narrower (HBM working set — RESULTS.md round-3 superlinear 10 s
+    bucket); partial flushes pad to the BUCKET's size."""
+    import pytest
+
+    loader, utts, _ = make_loader(n=20, batch=4, bucket_batch_sizes=(8, 4, 2))
+    assert [loader.batch_size_for(b) for b in range(3)] == [8, 4, 2]
+    for b, batch in loader.epoch(shuffle=False):
+        expect = loader.batch_size_for(b)
+        assert batch["targets"].shape[0] == expect
+        assert batch["audio"].shape[0] == expect
+        assert batch["num_real"] <= expect
+    with pytest.raises(ValueError, match="bucket_batch_sizes"):
+        make_loader(bucket_batch_sizes=(8, 4))
