@@ -162,3 +162,52 @@ def test_evaluate_never_trained_raises(tmp_path, data):
     )
     with pytest.raises(RuntimeError, match="never-trained"):
         avsr.evaluate()
+
+
+def test_noise_bank_records_config_route(tmp_path, data):
+    """noise.bank_records ((type, path) pairs) builds a TYPED bank from
+    config alone — the CLI/config-file route (no noise_bank kwarg)."""
+    import dataclasses
+
+    import numpy as np
+
+    from avsr_tpu.data.synthetic import Utterance, make_noise_bank
+    from avsr_tpu.data.tfrecord import write_dataset
+
+    paths = {}
+    for name, seed in (("babble", 1), ("cafe", 2)):
+        bank = make_noise_bank(num_rows=2, row_samples=30_000, seed=seed)
+        utts = [Utterance(uid=f"{name}{i}", transcript="", waveform=bank[i])
+                for i in range(bank.shape[0])]
+        paths[name] = str(tmp_path / f"{name}.tfrecord")
+        write_dataset(utts, paths[name])
+
+    avsr = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "rbank"),
+        train_utterances=data, eval_utterances=data,
+    )
+    assert avsr.trainer.noise_bank is None  # no records configured
+
+    cfg = dataclasses.replace(
+        avsr.config,
+        noise=dataclasses.replace(
+            avsr.config.noise,
+            bank_records=(("babble", paths["babble"]),
+                          ("cafe", paths["cafe"])),
+        ),
+    )
+    avsr2 = AVSR(config=cfg, run_dir=str(tmp_path / "rbank2"),
+                 train_utterances=data, eval_utterances=data)
+    bank = avsr2.trainer.noise_bank
+    assert bank is not None and bank.names == ("babble", "cafe")
+    # rows concatenated into one [1, L] stream per type
+    assert all(b.shape[0] == 1 and b.shape[1] >= 60_000 for b in bank.banks)
+    # config stays hashable after a JSON round trip (jit cache keys)
+    from avsr_tpu.configs import ExperimentConfig
+
+    cfg_rt = ExperimentConfig.from_json(cfg.to_json())
+    hash(cfg_rt)
+    assert cfg_rt.noise.bank_records == cfg.noise.bank_records

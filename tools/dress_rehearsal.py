@@ -147,7 +147,7 @@ def main() -> int:
     args = ap.parse_args()
 
     quick = args.quick
-    n_train = args.utts or (256 if quick else 2800)
+    n_train = args.utts or (256 if quick else 3600)
     work = args.workdir or tempfile.mkdtemp(prefix="avsr_rehearsal_")
     os.makedirs(work, exist_ok=True)
     checks = {}
