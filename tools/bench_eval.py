@@ -55,9 +55,12 @@ def main() -> None:
         audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
                                     bidirectional=True),
         video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
-        fusion=FusionConfig(attention_units=128),
+        # flagship value down-projection (bench.py round-3 default; set the
+        # AVSR_BENCH_*VDIM env knobs there for the reference-dims model)
+        fusion=FusionConfig(attention_units=128, memory_value_dim=256),
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
-                              attention_units=128, max_label_length=K),
+                              attention_units=128, max_label_length=K,
+                              memory_value_dim=256),
         decode=DecodeConfig(beam_width=10, max_decode_length=L),
         train=TrainConfig(compute_dtype="bfloat16"),
         name="bench_eval",

@@ -58,10 +58,13 @@ def main():
         audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
                                     bidirectional=True, dropout_rate=0.1),
         video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
-        fusion=FusionConfig(attention_units=128),
+        # flagship value down-projection (bench.py round-3 default; set the
+        # AVSR_BENCH_*VDIM env knobs there for the reference-dims model)
+        fusion=FusionConfig(attention_units=128, memory_value_dim=256),
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
                               attention_units=128, max_label_length=K,
-                              sampling_probability=0.1),
+                              sampling_probability=0.1,
+                              memory_value_dim=256),
         train=TrainConfig(compute_dtype="bfloat16"),
     )
     rng = np.random.default_rng(0)
