@@ -92,6 +92,17 @@ class Trainer:
         # (and once per noise condition) and a fresh jit each call would
         # recompile (minutes on TPU)
         self._decode_cache = {}
+        # Graceful-preemption flag (SURVEY §5.3): set by request_stop() /
+        # SIGTERM during train(); the loop checkpoints the exact iterator
+        # position and returns, so the next --resume run continues
+        # bit-exactly (same guarantee as the SIGKILL path, without losing
+        # the batches since the last periodic save).
+        self._stop_requested = False
+
+    def request_stop(self) -> None:
+        """Ask the running train() loop to checkpoint and return after the
+        current step (signal-handler safe: only sets a flag)."""
+        self._stop_requested = True
 
     # ------------------------------------------------------------------
 
@@ -136,6 +147,30 @@ class Trainer:
         if cfg.train.warmup_compile:
             self.warmup()
 
+        # SIGTERM -> graceful stop (cluster preemption notice): checkpoint
+        # the iterator position and return instead of dying mid-step.
+        import signal
+        import threading
+
+        prev_handler = None
+        if threading.current_thread() is threading.main_thread():
+            try:
+                prev_handler = signal.signal(
+                    signal.SIGTERM, lambda *_: self.request_stop()
+                )
+            except (ValueError, OSError):  # non-main interpreter contexts
+                prev_handler = None
+
+        try:
+            return self._train_epochs(num_epochs, evaluate_every)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _train_epochs(
+        self, num_epochs: int, evaluate_every: int
+    ) -> Dict[str, float]:
+        cfg = self.cfg
         last_metrics: Dict[str, float] = {}
         while self.epoch < num_epochs:
             t_epoch = time.time()
@@ -183,6 +218,19 @@ class Trainer:
                         step_i, self.state,
                         {"epoch": self.epoch, "batches_done": batches_done},
                     )
+                if self._stop_requested:
+                    # graceful preemption: persist the exact iterator
+                    # position; --resume continues bit-exactly from here
+                    self.ckpt.save(
+                        step_i, self.state,
+                        {"epoch": self.epoch, "batches_done": batches_done},
+                    )
+                    self.logger.info(
+                        f"stop requested: checkpointed step {step_i} "
+                        f"(epoch {self.epoch}, {batches_done} batches) "
+                        "and exiting train loop"
+                    )
+                    return last_metrics
             self.epoch += 1
             dt = time.time() - t_epoch
             fps = frames / max(dt, 1e-9)

@@ -397,3 +397,47 @@ def test_overfit_av_align_with_value_projection(tmp_path, data):
     avsr.train(num_epochs=cfg.train.num_epochs)
     summary = avsr.evaluate(use_beam=True)
     assert summary["cer"] < 0.35, summary
+
+
+def test_graceful_stop_checkpoints_and_resumes_bit_exact(tmp_path, data):
+    """request_stop() (the SIGTERM handler's action) checkpoints the exact
+    iterator position mid-epoch and exits; resuming reproduces the
+    uninterrupted run bit-exactly (SURVEY §5.3 graceful preemption)."""
+    import dataclasses
+
+    cfg = overfit_config("audio", str(tmp_path))
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, num_epochs=2, log_every_steps=1,
+            keep_checkpoints=10, eval_every_epochs=100,
+        ),
+    )
+    a = AVSR(config=cfg, run_dir=str(tmp_path / "gfull"),
+             train_utterances=data, eval_utterances=data)
+    a.train(num_epochs=2)  # 2 batches/epoch -> 4 steps
+    p_full = a.trainer.state.params
+
+    b = AVSR(config=cfg, run_dir=str(tmp_path / "gstop"),
+             train_utterances=data, eval_utterances=data)
+    orig_log = b.trainer.logger.log
+
+    def stopping_log(kind, **kw):
+        orig_log(kind, **kw)
+        if kind == "train" and kw.get("step") == 3:  # mid-epoch 2
+            b.trainer.request_stop()
+
+    b.trainer.logger.log = stopping_log
+    b.train(num_epochs=2)
+    assert int(b.trainer.state.step) == 3  # stopped early
+    b.trainer.logger.log = orig_log
+
+    c = AVSR(config=cfg, run_dir=str(tmp_path / "gstop"),
+             train_utterances=data, eval_utterances=data)
+    assert c.trainer.try_restore_latest_checkpoint()
+    assert c.trainer.epoch == 1 and c.trainer._resume_batches == 1
+    c.train(num_epochs=2)
+    assert int(c.trainer.state.step) == 4
+    for x, y in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(c.trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
