@@ -355,10 +355,12 @@ def _load_noise_bank(record: "str | Dict[str, str]"):
 def _open_source(records: str, video_records: Optional[str]):
     """Open record file(s) as a lazy random-access source; with a video
     record file, INNER-join by uid (reference:
-    make_iterator_from_two_records, SURVEY §2.2 row 10)."""
-    from avsr_tpu.data.grain_loader import JoinedAVSource, TFRecordDataSource
+    make_iterator_from_two_records, SURVEY §2.2 row 10).  Paths may be
+    single files, shard globs (``train-*.tfrecord``), or comma-separated
+    lists — sharded corpora read as one dataset."""
+    from avsr_tpu.data.grain_loader import JoinedAVSource, open_sharded
 
-    src = TFRecordDataSource(records)
+    src = open_sharded(records)
     if video_records:
-        return JoinedAVSource(src, TFRecordDataSource(video_records))
+        return JoinedAVSource(src, open_sharded(video_records))
     return src

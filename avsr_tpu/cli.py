@@ -129,8 +129,12 @@ def cmd_write_records(args) -> int:
                                       max_chars=args.max_chars,
                                       char_duration_s=args.char_duration,
                                       roi=args.roi))
-        tfrecord.write_dataset(utts, args.out, video_codec=args.video_codec)
-        print(f"wrote {len(utts)} synthetic utterances -> {args.out}")
+        paths = tfrecord.write_dataset(
+            utts, args.out, video_codec=args.video_codec,
+            num_shards=args.shards,
+        )
+        print(f"wrote {len(utts)} synthetic utterances -> "
+              f"{paths[0] if len(paths) == 1 else f'{len(paths)} shards'}")
         if args.noise_out:
             bank = make_noise_bank(num_rows=4,
                                    row_samples=args.noise_samples,
@@ -207,6 +211,9 @@ def main(argv=None) -> int:
     p.add_argument("--video-codec", default="float32",
                    choices=("float32", "uint8"),
                    help="ROI storage codec (uint8 = 4x smaller records)")
+    p.add_argument("--shards", type=int, default=1,
+                   help="split the corpus into N shard files "
+                        "(read back via the glob '<out>-*')")
     p.set_defaults(fn=cmd_write_records)
 
     p = sub.add_parser("show-config", help="print the resolved config")

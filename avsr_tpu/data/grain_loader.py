@@ -119,6 +119,73 @@ class JoinedAVSource:
         return u
 
 
+class ConcatSource:
+    """Concatenation of random-access sources — SHARDED record corpora
+    (`train-00000-of-00016.tfrecord`...) behave as one dataset.  Item i
+    resolves to its shard by cumulative offset; uids() concatenates in
+    shard order, so uid joins and deterministic shuffles are stable."""
+
+    def __init__(self, sources: List[TFRecordDataSource]):
+        if not sources:
+            raise ValueError("ConcatSource needs at least one shard")
+        self.sources = list(sources)
+        self._offsets = []
+        total = 0
+        for s in self.sources:
+            self._offsets.append(total)
+            total += len(s)
+        self._total = total
+
+    def __len__(self) -> int:
+        return self._total
+
+    def _locate(self, i: int) -> Tuple[int, int]:
+        import bisect
+
+        if not 0 <= i < self._total:
+            raise IndexError(i)
+        k = bisect.bisect_right(self._offsets, i) - 1
+        return k, i - self._offsets[k]
+
+    def __getitem__(self, i: int) -> Utterance:
+        k, j = self._locate(i)
+        return self.sources[k][j]
+
+    def record_bytes(self, i: int) -> bytes:
+        k, j = self._locate(i)
+        return self.sources[k].record_bytes(j)
+
+    def uids(self) -> List[str]:
+        out: List[str] = []
+        for s in self.sources:
+            out.extend(s.uids())
+        return out
+
+
+def open_sharded(pattern: str) -> "TFRecordDataSource | ConcatSource":
+    """Open one record file, a glob of shards, or a comma-separated list of
+    either, as a single random-access source.
+
+    ``train-*.tfrecord`` and ``a.tfrecord,b.tfrecord`` both work; glob
+    matches are sorted so the concatenation order (and thus seeded shuffle
+    order) is deterministic.  A pattern with no glob match is treated as a
+    literal path (and fails loudly in the indexer if absent)."""
+    import glob as _glob
+
+    paths: List[str] = []
+    for part in pattern.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        matches = sorted(_glob.glob(part)) if _glob.has_magic(part) else []
+        paths.extend(matches if matches else [part])
+    if not paths:
+        raise ValueError(f"empty record pattern {pattern!r}")
+    if len(paths) == 1:
+        return TFRecordDataSource(paths[0])
+    return ConcatSource([TFRecordDataSource(p) for p in paths])
+
+
 def load_utterances(path: str) -> List[Utterance]:
     """Eagerly materialize a record file (small-corpus convenience)."""
     src = TFRecordDataSource(path)

@@ -274,11 +274,28 @@ def utterance_from_bytes(data: bytes) -> Utterance:
 
 
 def write_dataset(
-    utterances: List[Utterance], path: str, video_codec: str = "float32"
-) -> None:
-    with TFRecordWriter(path) as w:
-        for u in utterances:
-            w.write(utterance_to_bytes(u, video_codec=video_codec))
+    utterances: List[Utterance], path: str, video_codec: str = "float32",
+    num_shards: int = 1,
+) -> List[str]:
+    """Serialize utterances; ``num_shards > 1`` writes contiguous chunks to
+    ``{path}-{i:05d}-of-{n:05d}`` (readable as one dataset via the shard
+    glob ``{path}-*`` — data/grain_loader.open_sharded).  Returns the
+    written paths."""
+    if num_shards <= 1:
+        with TFRecordWriter(path) as w:
+            for u in utterances:
+                w.write(utterance_to_bytes(u, video_codec=video_codec))
+        return [path]
+    n = len(utterances)
+    per = -(-n // num_shards)
+    paths = []
+    for i in range(num_shards):
+        shard_path = f"{path}-{i:05d}-of-{num_shards:05d}"
+        paths.append(shard_path)
+        with TFRecordWriter(shard_path) as w:
+            for u in utterances[i * per : (i + 1) * per]:
+                w.write(utterance_to_bytes(u, video_codec=video_codec))
+    return paths
 
 
 def read_dataset(path: str) -> List[Utterance]:

@@ -219,3 +219,46 @@ def test_uint8_records_compact_transfer_end_to_end(tmp_path):
     l_fp, _ = seq2seq.loss_fn(params, cfg, to_model_batch(b_fp), train=False)
     l_c, _ = seq2seq.loss_fn(params, cfg, to_model_batch(b_c), train=False)
     np.testing.assert_allclose(float(l_fp), float(l_c), rtol=1e-6)
+
+
+def test_sharded_corpus_reads_as_one_dataset(tmp_path):
+    """write_dataset(num_shards=N) -> open_sharded(glob) concatenates the
+    shards into one deterministic random-access source; an AV uid-join
+    over sharded audio + single-file video still pairs every utterance."""
+    from avsr_tpu.data.grain_loader import (
+        ConcatSource, JoinedAVSource, open_sharded,
+    )
+    from avsr_tpu.data.synthetic import SyntheticSpec, generate
+    from avsr_tpu.data.tfrecord import write_dataset
+
+    utts = generate(SyntheticSpec(num_utterances=11, seed=3, alphabet="abc"))
+    base = str(tmp_path / "train.tfrecord")
+    paths = write_dataset(utts, base, num_shards=4)
+    assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
+
+    src = open_sharded(base + "-*")
+    assert isinstance(src, ConcatSource)
+    assert len(src) == 11
+    assert src.uids() == [u.uid for u in utts]
+    for i in (0, 3, 10):
+        got = src[i]
+        assert got.uid == utts[i].uid
+        np.testing.assert_allclose(got.waveform, utts[i].waveform, atol=1e-6)
+
+    # comma-list form, partial
+    two = open_sharded(f"{paths[0]},{paths[2]}")
+    assert len(two) == len(open_sharded(paths[0])) + len(open_sharded(paths[2]))
+
+    # uid join across a sharded audio corpus and single-file video corpus
+    video_path = str(tmp_path / "video.tfrecord")
+    write_dataset(utts, video_path)
+    joined = JoinedAVSource(open_sharded(base + "-*"),
+                            open_sharded(video_path))
+    assert len(joined) == 11
+    u0 = joined[0]
+    assert u0.video is not None and u0.waveform is not None
+
+    # single literal path returns the plain source
+    from avsr_tpu.data.grain_loader import TFRecordDataSource
+
+    assert isinstance(open_sharded(paths[1]), TFRecordDataSource)
