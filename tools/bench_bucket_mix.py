@@ -21,7 +21,10 @@ Protocol:
     (every bucket pays the global max_label_length horizon).
 
 Usage: python tools/bench_bucket_mix.py [batch_size]
-Prints one JSON line; takes ~20 min on TPU (6 program compiles).
+  AVSR_BUCKET_BS="192,128,64"  adds a third arm measuring per-bucket batch
+  sizes (data.bucket_batch_sizes) at the given sizes (caps stay on).
+Prints one JSON line; takes ~20 min on TPU (6 program compiles; 9 with
+the bucket-batch-size arm).
 """
 
 from __future__ import annotations
@@ -68,7 +71,7 @@ def make_corpus(n: int, seed: int = 0):
     return utts
 
 
-def build(cfg_label_caps, utts, batch_size):
+def build(cfg_label_caps, utts, batch_size, bucket_batch_sizes=None):
     import dataclasses
 
     from avsr_tpu.configs import (
@@ -98,6 +101,7 @@ def build(cfg_label_caps, utts, batch_size):
         data=DataConfig(batch_size=batch_size,
                         audio_bucket_boundaries=BOUNDARIES,
                         label_bucket_caps=cfg_label_caps,
+                        bucket_batch_sizes=bucket_batch_sizes,
                         max_label_length=MAX_LABEL),
         train=TrainConfig(compute_dtype="bfloat16"),
         name="bench_bucket_mix",
@@ -177,6 +181,15 @@ def main() -> None:
     on = out["caps_on"]["weighted_frames_per_sec"]
     off = out["caps_off"]["weighted_frames_per_sec"]
     out["caps_speedup"] = round(on / off, 3)
+    bbs_env = os.environ.get("AVSR_BUCKET_BS")
+    if bbs_env:
+        bbs = tuple(int(x) for x in bbs_env.split(","))
+        cfg, units, loader = build(CAPS, utts, batch_size,
+                                   bucket_batch_sizes=bbs)
+        out["bucket_bs"] = dict(measure(cfg, units, loader), sizes=bbs)
+        out["bucket_bs_speedup"] = round(
+            out["bucket_bs"]["weighted_frames_per_sec"] / on, 3
+        )
     print(json.dumps(out))
 
 
