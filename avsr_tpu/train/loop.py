@@ -50,6 +50,23 @@ class Trainer:
         self.run_dir = run_dir or os.path.join("runs", cfg.name)
         self.logger = MetricsLogger(self.run_dir, logfile)
         self.mesh = mesh
+        if mesh is not None:
+            # batch-axis sharding needs every bucket's batch size to divide
+            # evenly over the data axis; catching it here beats an opaque
+            # XLA sharding error mid-epoch.
+            from avsr_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            sizes = set(cfg.data.bucket_batch_sizes or ()) | {
+                cfg.data.batch_size
+            }
+            bad = sorted(b for b in sizes if b % n_data)
+            if bad:
+                raise ValueError(
+                    f"batch sizes {bad} are not divisible by the mesh's "
+                    f"data axis ({n_data} shards); adjust data.batch_size/"
+                    f"data.bucket_batch_sizes"
+                )
         self.noise_bank = None
         if noise_bank is not None:
             from avsr_tpu.ops.noise import NoiseBank

@@ -91,3 +91,26 @@ def test_sharded_eval_decode_matches_single_device(rng):
 
     np.testing.assert_array_equal(np.asarray(ids_1), np.asarray(ids_8))
     np.testing.assert_allclose(float(loss_1), float(loss_8), rtol=1e-5)
+
+
+def test_uneven_batch_over_mesh_fails_loudly(tmp_path):
+    """A batch size not divisible by the mesh's data axis raises at Trainer
+    construction, not as an opaque XLA error mid-epoch."""
+    import dataclasses
+
+    import pytest
+
+    from avsr_tpu.avsr import AVSR
+    from avsr_tpu.data.synthetic import SyntheticSpec, generate
+    from avsr_tpu.parallel.mesh import make_mesh
+
+    data = generate(SyntheticSpec(num_utterances=6, seed=0, alphabet="ab"))
+    mesh = make_mesh(num_data=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        AVSR(
+            architecture="audio", encoder_units_per_layer=(16,),
+            decoder_units_per_layer=(16,), embedding_size=8, batch_size=6,
+            max_label_length=6, compute_dtype="float32",
+            run_dir=str(tmp_path / "m"), train_utterances=data,
+            eval_utterances=data, mesh=mesh,
+        )
