@@ -20,27 +20,27 @@ CFG = DecoderConfig(embedding_dim=4, hidden_units=(6,), attention_units=4,
                     max_label_length=MAXLEN)
 
 
-def build(rng_seed=0, B=2, S=3, H=5):
+def build(rng_seed=0, B=2, S=3, H=5, cfg=CFG):
     rng = np.random.default_rng(rng_seed)
-    params = dec.decoder_init(jax.random.PRNGKey(rng_seed), CFG, [H], V)
+    params = dec.decoder_init(jax.random.PRNGKey(rng_seed), cfg, [H], V)
     memory = jnp.asarray(rng.standard_normal((B, S, H)).astype(np.float32))
     lengths = jnp.asarray([S] * B, jnp.int32)
     mem = attn.prepare_memory(
-        CFG.attention_type, params["atts"][0], memory, lengths,
+        cfg.attention_type, params["atts"][0], memory, lengths,
         compute_dtype=jnp.float32,
     )
     return params, mem, B
 
 
-def score_sequence(params, mem, b, seq):
+def score_sequence(params, mem, b, seq, cfg=CFG):
     """Teacher-forced log prob of `seq` (which may end with EOS) for batch
     row b, using the same decoder_step as beam search."""
-    state = dec.initial_state(CFG, mem.values.shape[0], [mem.values.shape[-1]])
+    state = dec.initial_state(cfg, mem.values.shape[0], [mem.values.shape[-1]])
     tok = jnp.full((mem.values.shape[0],), GO_ID, jnp.int32)
     total = 0.0
     for t in seq:
         state, logits = dec.decoder_step(
-            params, CFG, tok, state, [mem], compute_dtype=jnp.float32
+            params, cfg, tok, state, [mem], compute_dtype=jnp.float32
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         total += float(logp[b, t])
@@ -48,7 +48,7 @@ def score_sequence(params, mem, b, seq):
     return total
 
 
-def exhaustive_best(params, mem, b):
+def exhaustive_best(params, mem, b, cfg=CFG):
     """All sequences of length <= MAXLEN over {3,4} terminated by EOS, plus
     unterminated length-MAXLEN sequences; finished sequences preferred."""
     candidates = []
@@ -60,7 +60,7 @@ def exhaustive_best(params, mem, b):
         candidates.append((list(body), False))
     best_fin, best_fin_score = None, -np.inf
     for seq, finished in candidates:
-        s = score_sequence(params, mem, b, seq)
+        s = score_sequence(params, mem, b, seq, cfg=cfg)
         if finished and s > best_fin_score:
             best_fin, best_fin_score = seq, s
     return best_fin, best_fin_score
@@ -169,3 +169,25 @@ def test_greedy_early_exit_when_all_finish():
     np.testing.assert_array_equal(np.asarray(ids_s), np.asarray(ids_l[:, :L]))
     assert np.all(np.asarray(ids_l[:, L:]) == PAD_ID)
     np.testing.assert_array_equal(np.asarray(len_s), np.asarray(len_l))
+
+
+def test_beam_equals_exhaustive_with_value_projection():
+    """The exhaustive-equivalence guarantee must survive memory_value_dim
+    (the flagship's value down-projection): beam over a projected memory
+    still finds the true best finished sequence."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, memory_value_dim=3)
+    params, mem, B = build(rng_seed=5, cfg=cfg)
+    assert mem.values.shape[-1] == 3
+    res = beam_search(
+        params, cfg, [mem], MAXLEN, beam_width=16, length_penalty=0.0,
+        compute_dtype=jnp.float32,
+    )
+    for b in range(B):
+        best_seq, best_score = exhaustive_best(params, mem, b, cfg=cfg)
+        got = [int(t) for t in np.asarray(res.ids)[b] if t != PAD_ID]
+        assert got == best_seq, (b, got, best_seq)
+        np.testing.assert_allclose(
+            float(res.scores[b]), best_score, rtol=1e-5, atol=1e-5
+        )
