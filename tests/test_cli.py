@@ -58,3 +58,40 @@ def test_grain_source_random_access(tmp_path):
     assert u0.uid == "synth0000"
     all_utts = load_utterances(out)
     assert [u.uid for u in all_utts] == [f"synth{i:04d}" for i in range(5)]
+
+
+def test_suggest_buckets_tool(tmp_path):
+    """tools/suggest_buckets.py proposes monotone boundaries, caps that
+    cover the bucket's labels, and shard-divisible batch sizes."""
+    import json
+    import subprocess
+    import sys
+
+    from avsr_tpu.data.synthetic import SyntheticSpec, generate
+    from avsr_tpu.data.tfrecord import write_dataset
+
+    utts = (generate(SyntheticSpec(num_utterances=12, min_chars=2,
+                                   max_chars=4, seed=1, alphabet="abc"))
+            + generate(SyntheticSpec(num_utterances=6, min_chars=8,
+                                     max_chars=12, seed=2, alphabet="abc")))
+    path = str(tmp_path / "c.tfrecord")
+    write_dataset(utts, path)
+    out = subprocess.run(
+        [sys.executable, "tools/suggest_buckets.py", path, "--buckets", "3",
+         "--shards", "4", "--batch-budget", "64x100"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    body = out.stdout.split("# paste")[0]
+    prop = json.loads(body)
+    bounds = prop["audio_bucket_boundaries"]
+    assert len(bounds) == 3 and bounds == sorted(bounds)
+    assert len(set(bounds)) == 3
+    caps = prop["label_bucket_caps"]
+    sizes = prop["bucket_batch_sizes"]
+    assert all(b % 4 == 0 for b in sizes)
+    assert sizes == sorted(sizes, reverse=True)  # longer bucket, smaller B
+    assert max(caps) >= prop["label_len_max"]
+    assert prop["num_utterances"] == 18
