@@ -301,11 +301,28 @@ class AVSR:
 
         Convenience inference API: accepts in-memory Utterance objects (only
         the modalities the architecture needs must be present) and runs the
-        full frontend + encoder + beam/greedy decode pipeline.
+        full frontend + encoder + beam/greedy decode pipeline.  Restores the
+        latest checkpoint when one exists and nothing was trained this
+        session; a never-trained model with no checkpoint raises (silently
+        transcribing with random params helps nobody).
         """
         import numpy as np
 
         from avsr_tpu.data.loader import BucketingLoader, to_model_batch
+
+        if self.trainer._host_step == 0:
+            if self.trainer.ckpt.latest_step() is not None:
+                self.trainer.state, _, step = self.trainer.ckpt.restore(
+                    self.trainer.state
+                )
+                self.trainer._host_step = int(step)
+            else:
+                raise RuntimeError(
+                    "predict() called on a never-trained model: no "
+                    f"checkpoint under {self.trainer.ckpt.directory} and no "
+                    "training steps taken this session.  Train first, or "
+                    "point run_dir at a trained run."
+                )
 
         cfg = self.config
         need_audio = cfg.architecture in ("audio", "av_align", "bimodal")

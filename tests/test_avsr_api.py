@@ -72,6 +72,7 @@ def test_predict_api(tmp_path, data):
         run_dir=str(tmp_path / "rp"),
         train_utterances=data, eval_utterances=data,
     )
+    avsr.train(num_epochs=1)  # predict refuses never-trained states
     out = avsr.predict(data[:5], use_beam=False)
     assert len(out) == 5
     uids = {u.uid for u in data[:5]}
@@ -211,3 +212,28 @@ def test_noise_bank_records_config_route(tmp_path, data):
     cfg_rt = ExperimentConfig.from_json(cfg.to_json())
     hash(cfg_rt)
     assert cfg_rt.noise.bank_records == cfg.noise.bank_records
+
+
+def test_predict_never_trained_raises_and_restores(tmp_path, data):
+    """predict() on a never-trained state raises; with a checkpoint on
+    disk it auto-restores the latest (same contract as evaluate)."""
+    kw = dict(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        train_utterances=data, eval_utterances=data,
+    )
+    fresh = AVSR(run_dir=str(tmp_path / "pfresh"), **kw)
+    with pytest.raises(RuntimeError, match="never-trained"):
+        fresh.predict(data[:2], use_beam=False)
+
+    trained = AVSR(run_dir=str(tmp_path / "ptrain"), **kw)
+    trained.train(num_epochs=1)
+    # a NEW session over the same run_dir: predict restores the checkpoint
+    again = AVSR(run_dir=str(tmp_path / "ptrain"), **kw)
+    out = again.predict(data[:2], use_beam=False)
+    assert len(out) == 2
+    assert again.trainer._host_step == int(trained.trainer.state.step)
+    for x, y in zip(jax.tree_util.tree_leaves(trained.trainer.state.params),
+                    jax.tree_util.tree_leaves(again.trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -68,9 +68,11 @@ print("TPU_SMOKE_OK loss", loss)
 """
 
 
-def _run_on_device(script: str, timeout: int = 1800):
-    # generous: the remote compile service has been observed 3x slower
-    # under load (333 s vs 130 s for the same train-step compile)
+def _run_on_device(script: str, timeout: int = 3300):
+    # generous: the remote compile service's latency varies WILDLY with
+    # load — the SAME train-step program has compiled in 2 min and timed
+    # out at 30 min in one session (round 3); 55 min keeps the tier honest
+    # without failing on service weather
     env = dict(os.environ)
     # drop the CPU forcing the parent test process may carry
     env.pop("JAX_PLATFORMS", None)
