@@ -441,7 +441,13 @@ def av_align_noisy() -> ExperimentConfig:
 
 def lrs2_full() -> ExperimentConfig:
     """Full LRS2 pipeline: large-vocab char targets, scheduled sampling,
-    width-10 beam search decode."""
+    width-10 beam search decode, measured TPU throughput knobs.
+
+    Bucket geometry follows the measured levers on a 1-10 s mix
+    (RESULTS.md round 3): per-bucket label caps (+14%) and per-bucket
+    batch sizes (+21%; only the LONG buckets shrink — B=128 x 10 s runs
+    superlinear from HBM pressure).  Tune boundaries/caps/sizes to YOUR
+    corpus with tools/suggest_buckets.py."""
     return ExperimentConfig(
         architecture="av_align",
         decoder=DecoderConfig(sampling_probability=0.1, max_label_length=150),
@@ -450,7 +456,14 @@ def lrs2_full() -> ExperimentConfig:
         # LRS2 transcripts contain digits/punctuation the base charset lacks.
         # compact transfer: LRS2 audio is 16-bit PCM and ROI crops are uint8
         # pixels, so int16/uint8 H2D is bit-exact and ~3x fewer bytes/batch.
-        data=DataConfig(unit="character_lrs2", transfer_dtype="compact"),
+        data=DataConfig(
+            unit="character_lrs2", transfer_dtype="compact",
+            batch_size=128,
+            audio_bucket_boundaries=(200, 400, 600, 1000, 1600),
+            label_bucket_caps=(30, 55, 80, 130, 150),
+            bucket_batch_sizes=(128, 128, 128, 64, 32),
+        ),
+        train=TrainConfig(warmup_compile=True),
         name="lrs2_av_align",
     )
 
