@@ -75,7 +75,13 @@ def main() -> None:
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
                               attention_units=128, max_label_length=K,
                               sampling_probability=0.1),
-        train=TrainConfig(compute_dtype="bfloat16"),
+        # log_every_steps = steps/epoch: the Trainer's epoch timer stops at
+        # the last DISPATCH, and only a log-step's float(loss) fetch truly
+        # drains the device — so each epoch must END on a log step or the
+        # unsynced tail escapes the timer and understates ms/step (observed:
+        # 32.6 "ms/step" for a 42 ms program when 60-step epochs logged
+        # every 50).
+        train=TrainConfig(compute_dtype="bfloat16", log_every_steps=steps),
         name="bench_trainer",
     )
 
