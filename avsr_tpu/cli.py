@@ -153,6 +153,25 @@ def cmd_write_records(args) -> int:
     )
 
 
+def cmd_export(args) -> int:
+    """AOT-export the decode program to a standalone serving artifact
+    (avsr_tpu/serve.py: StableHLO program + params + meta; no model code
+    needed at serving time)."""
+    from avsr_tpu.serve import export_serving_artifact
+
+    avsr = _build_avsr(args)
+    out = export_serving_artifact(
+        avsr, args.out,
+        use_beam=not args.greedy,
+        batch_size=args.batch_size,
+        audio_seconds=args.seconds,
+        platforms=tuple(args.platforms.split(",")) if args.platforms else None,
+        checkpoint=int(args.checkpoint) if args.checkpoint else None,
+    )
+    print(json.dumps({"artifact": out}))
+    return 0
+
+
 def cmd_show_config(args) -> int:
     cfg = _load_config(args)
     print(cfg.to_json())
@@ -215,6 +234,20 @@ def main(argv=None) -> int:
                    help="split the corpus into N shard files "
                         "(read back via the glob '<out>-*')")
     p.set_defaults(fn=cmd_write_records)
+
+    p = sub.add_parser("export",
+                       help="AOT-export the decode program for serving")
+    common(p)
+    p.add_argument("--out", required=True, help="artifact directory")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=6.0,
+                   help="audio horizon of the exported bucket")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets "
+                        "(default cpu,tpu: one artifact serves both)")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("show-config", help="print the resolved config")
     common(p)

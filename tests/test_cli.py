@@ -95,3 +95,61 @@ def test_suggest_buckets_tool(tmp_path):
     assert sizes == sorted(sizes, reverse=True)  # longer bucket, smaller B
     assert max(caps) >= prop["label_len_max"]
     assert prop["num_utterances"] == 18
+
+
+def test_cli_train_export_serve_roundtrip(tmp_path, capsys):
+    """The full CLI user path: write-records -> train -> export -> a
+    standalone Predictor transcribes from the artifact alone."""
+    from avsr_tpu.configs import (
+        AudioFrontendConfig, DataConfig, DecodeConfig, DecoderConfig,
+        EncoderConfig, ExperimentConfig, TrainConfig,
+    )
+    from avsr_tpu.data.tfrecord import read_dataset
+    from avsr_tpu.serve import Predictor
+
+    records = str(tmp_path / "train.tfrecord")
+    rc = cli.main(["write-records", "--synthetic", "6", "--out", records,
+                   "--max-chars", "3", "--char-duration", "0.1"])
+    assert rc == 0
+
+    cfg = ExperimentConfig(
+        architecture="audio",
+        audio=AudioFrontendConfig(num_mel_bins=12, fft_length=256,
+                                  frame_stacking=3, frame_skipping=3,
+                                  add_deltas=False),
+        audio_encoder=EncoderConfig(hidden_units=(16,), dropout_rate=0.0),
+        decoder=DecoderConfig(embedding_dim=8, hidden_units=(16,),
+                              attention_units=12, max_label_length=6,
+                              dropout_rate=0.0),
+        data=DataConfig(batch_size=3, audio_bucket_boundaries=(60,),
+                        max_label_length=6,
+                        audio_train_records=records,
+                        audio_eval_records=records),
+        train=TrainConfig(compute_dtype="float32", log_every_steps=10,
+                          num_epochs=1),
+        decode=DecodeConfig(beam_width=2, max_decode_length=6),
+        name="cli_serve",
+    )
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    run_dir = str(tmp_path / "run")
+
+    rc = cli.main(["train", "--config", cfg_path, "--run-dir", run_dir,
+                   "--epochs", "1"])
+    assert rc == 0
+    capsys.readouterr()
+
+    art = str(tmp_path / "artifact")
+    rc = cli.main(["export", "--config", cfg_path, "--run-dir", run_dir,
+                   "--out", art, "--greedy", "--batch-size", "2",
+                   "--seconds", "0.5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["artifact"] == art
+
+    utts = read_dataset(records)
+    pred = Predictor.load(art)
+    hyps = pred.transcribe(audio=[utts[0].waveform, utts[1].waveform])
+    assert len(hyps) == 2 and all(isinstance(h, str) for h in hyps)
+    assert pred.meta["checkpoint_step"] > 0

@@ -1,0 +1,114 @@
+"""AOT serving-artifact tests: export -> serialize -> load -> transcribe.
+
+The exported program must reproduce the in-process decode exactly; because
+the Predictor pads to the EXPORT shape while predict() pads to the loader's
+bucket shape, agreement here also re-exercises the padding-invariance
+design invariant (CLAUDE.md).
+"""
+
+import numpy as np
+import pytest
+
+from avsr_tpu.avsr import AVSR
+from avsr_tpu.data.synthetic import SyntheticSpec, generate
+from avsr_tpu.serve import Predictor, export_serving_artifact
+
+
+@pytest.fixture(scope="module")
+def data():
+    return generate(SyntheticSpec(num_utterances=8, min_chars=2, max_chars=3,
+                                  seed=11, alphabet="ab", roi=20,
+                                  char_duration_s=0.1))
+
+
+def _tiny_avsr(tmp_path, data, architecture="audio"):
+    if architecture == "audio":
+        return AVSR(
+            architecture="audio", encoder_units_per_layer=(16,),
+            decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+            max_label_length=6, compute_dtype="float32",
+            run_dir=str(tmp_path / "run"),
+            train_utterances=data, eval_utterances=data,
+        )
+    from avsr_tpu.configs import (
+        AudioFrontendConfig, DataConfig, DecodeConfig, DecoderConfig,
+        EncoderConfig, ExperimentConfig, FusionConfig, TrainConfig,
+        VideoFrontendConfig,
+    )
+
+    cfg = ExperimentConfig(
+        architecture=architecture,
+        audio=AudioFrontendConfig(num_mel_bins=12, fft_length=256,
+                                  frame_stacking=3, frame_skipping=3,
+                                  add_deltas=False),
+        video=VideoFrontendConfig(roi_height=20, roi_width=20,
+                                  conv_channels=(4,), embedding_dim=16),
+        audio_encoder=EncoderConfig(hidden_units=(16,), dropout_rate=0.0),
+        video_encoder=EncoderConfig(hidden_units=(16,), dropout_rate=0.0),
+        fusion=FusionConfig(attention_units=12),
+        decoder=DecoderConfig(embedding_dim=8, hidden_units=(16,),
+                              attention_units=12, max_label_length=6,
+                              dropout_rate=0.0),
+        data=DataConfig(batch_size=4, audio_bucket_boundaries=(60,),
+                        max_label_length=6, video_fps=25.0),
+        train=TrainConfig(compute_dtype="float32", log_every_steps=10),
+        decode=DecodeConfig(beam_width=3, max_decode_length=6),
+        name="serve_av",
+    )
+    return AVSR(config=cfg, run_dir=str(tmp_path / "run"),
+                train_utterances=data, eval_utterances=data)
+
+
+def test_export_roundtrip_matches_predict(tmp_path, data):
+    avsr = _tiny_avsr(tmp_path, data)
+    avsr.train(num_epochs=1)
+    want = dict(avsr.predict(data[:4], use_beam=False))
+
+    out = export_serving_artifact(
+        avsr, str(tmp_path / "artifact"), use_beam=False, batch_size=4,
+        audio_seconds=0.5,
+    )
+    pred = Predictor.load(out)
+    got = pred.transcribe(audio=[u.waveform for u in data[:4]])
+    assert got == [want[u.uid] for u in data[:4]]
+    # Artifact is self-describing: inventory + id semantics in meta.
+    assert pred.meta["architecture"] == "audio"
+    assert pred.meta["eos_id"] == 2
+    assert pred.batch_size == 4
+    # Portable by default: one artifact serves CPU and TPU hosts.
+    assert sorted(pred.meta["platforms"]) == ["cpu", "tpu"]
+
+
+def test_export_av_align_beam(tmp_path, data):
+    avsr = _tiny_avsr(tmp_path, data, architecture="av_align")
+    avsr.train(num_epochs=1)
+    want = dict(avsr.predict(data[:2], use_beam=True))
+
+    out = export_serving_artifact(
+        avsr, str(tmp_path / "artifact_av"), use_beam=True, batch_size=2,
+        audio_seconds=0.5,
+    )
+    pred = Predictor.load(out)
+    got = pred.transcribe(audio=[u.waveform for u in data[:2]],
+                          video=[u.video for u in data[:2]])
+    assert got == [want[u.uid] for u in data[:2]]
+
+
+def test_predictor_rejects_overruns(tmp_path, data):
+    avsr = _tiny_avsr(tmp_path, data)
+    avsr.train(num_epochs=1)
+    out = export_serving_artifact(
+        avsr, str(tmp_path / "artifact2"), use_beam=False, batch_size=2,
+        audio_seconds=0.3,
+    )
+    pred = Predictor.load(out)
+    with pytest.raises(ValueError, match="exceed the exported batch size"):
+        pred.transcribe(audio=[u.waveform for u in data[:3]])
+    with pytest.raises(ValueError, match="exported horizon"):
+        pred.transcribe(audio=[np.zeros(16_000, np.float32)])
+
+
+def test_export_never_trained_raises(tmp_path, data):
+    avsr = _tiny_avsr(tmp_path, data)
+    with pytest.raises(RuntimeError, match="never-trained"):
+        export_serving_artifact(avsr, str(tmp_path / "artifact3"))
