@@ -160,11 +160,12 @@ def cmd_export(args) -> int:
     from avsr_tpu.serve import export_serving_artifact
 
     avsr = _build_avsr(args)
+    seconds = [float(s) for s in str(args.seconds).split(",")]
     out = export_serving_artifact(
         avsr, args.out,
         use_beam=not args.greedy,
         batch_size=args.batch_size,
-        audio_seconds=args.seconds,
+        audio_seconds=seconds[0] if len(seconds) == 1 else seconds,
         platforms=tuple(args.platforms.split(",")) if args.platforms else None,
         checkpoint=int(args.checkpoint) if args.checkpoint else None,
     )
@@ -242,8 +243,9 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--greedy", action="store_true")
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--seconds", type=float, default=6.0,
-                   help="audio horizon of the exported bucket")
+    p.add_argument("--seconds", default="6.0",
+                   help="audio horizon(s); comma-separated list exports "
+                        "one program per serving bucket (e.g. 2,6,10)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets "
                         "(default cpu,tpu: one artifact serves both)")

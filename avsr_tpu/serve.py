@@ -255,13 +255,61 @@ class Predictor:
         return [self.decode_ids(ids[i]) for i in range(n or 0)]
 
 
+class BucketedPredictor:
+    """Routes each request to the smallest exported bucket that fits it.
+
+    Static shapes are the TPU serving model (SURVEY §7.3 hard-part 1 — the
+    same bucketing the training loader does): a 2 s utterance must not pay
+    a 10 s program.  Exposes the same transcribe() surface as Predictor.
+    """
+
+    def __init__(self, buckets: List[Predictor]):
+        if not buckets:
+            raise ValueError("no buckets")
+        # ascending by audio horizon
+        self.buckets = sorted(
+            buckets, key=lambda p: p._inputs[p.meta["inputs"][0]["name"]]
+            ["shape"][1]
+        )
+        self.meta = self.buckets[-1].meta
+
+    def _pick(self, audio, video) -> Predictor:
+        for p in self.buckets:
+            ok = True
+            if audio is not None and "audio" in p._inputs:
+                S = p._inputs["audio"]["shape"][1]
+                ok = ok and max(len(a) for a in audio) <= S
+            if video is not None and "video" in p._inputs:
+                T = p._inputs["video"]["shape"][1]
+                ok = ok and max(len(v) for v in video) <= T
+            if ok:
+                return p
+        return self.buckets[-1]  # overruns raise there, with the message
+
+    def transcribe(self, *, audio=None, video=None) -> List[str]:
+        return self._pick(audio, video).transcribe(audio=audio, video=video)
+
+
+def load_predictor(path: str):
+    """Load a serving artifact directory: single bucket or bucketed set."""
+    manifest = os.path.join(path, META_FILE)
+    with open(manifest) as f:
+        meta = json.load(f)
+    if "buckets" in meta:
+        return BucketedPredictor(
+            [Predictor.load(os.path.join(path, b["path"]))
+             for b in meta["buckets"]]
+        )
+    return Predictor.load(path)
+
+
 def export_serving_artifact(
     avsr,
     out_dir: str,
     *,
     use_beam: bool = True,
     batch_size: int = 8,
-    audio_seconds: float = 6.0,
+    audio_seconds: "float | Sequence[float]" = 6.0,
     video_seconds: Optional[float] = None,
     platforms: Optional[Sequence[str]] = ("cpu", "tpu"),
     checkpoint: Optional[int] = None,
@@ -273,6 +321,11 @@ def export_serving_artifact(
     Artifacts default to multi-platform (cpu+tpu) lowering — measured
     ~0.3% size cost over single-platform, and it removes the deploy
     footgun of an artifact that refuses the serving host's backend.
+
+    ``audio_seconds`` may be a sequence: one bucket program is exported per
+    horizon under ``out_dir/bucket_*``, with a root manifest;
+    ``load_predictor`` then routes each request to the smallest fitting
+    bucket (static-shape TPU serving).
     """
     trainer = avsr.trainer
     if checkpoint is not None:
@@ -287,18 +340,39 @@ def export_serving_artifact(
             )
         trainer.state, _, step = trainer.ckpt.restore(trainer.state)
         trainer._host_step = int(step)
-    exported, leaves, sig = export_decode(
-        trainer.state.params, avsr.config,
-        use_beam=use_beam, batch_size=batch_size,
-        audio_seconds=audio_seconds, video_seconds=video_seconds,
-        platforms=platforms,
-    )
-    return save_artifact(
-        out_dir, exported, leaves, sig, avsr.unit_dict,
-        extra_meta={
-            "architecture": avsr.config.architecture,
-            "use_beam": bool(use_beam and avsr.config.decode.beam_width > 1),
-            "checkpoint_step": int(trainer._host_step),
-            "audio_seconds": audio_seconds,
-        },
-    )
+
+    def one(out, seconds):
+        exported, leaves, sig = export_decode(
+            trainer.state.params, avsr.config,
+            use_beam=use_beam, batch_size=batch_size,
+            audio_seconds=seconds, video_seconds=video_seconds,
+            platforms=platforms,
+        )
+        return save_artifact(
+            out, exported, leaves, sig, avsr.unit_dict,
+            extra_meta={
+                "architecture": avsr.config.architecture,
+                "use_beam": bool(
+                    use_beam and avsr.config.decode.beam_width > 1
+                ),
+                "checkpoint_step": int(trainer._host_step),
+                "audio_seconds": seconds,
+            },
+        )
+
+    try:
+        horizons = sorted(float(s) for s in audio_seconds)  # type: ignore
+    except TypeError:
+        return one(out_dir, float(audio_seconds))
+    if len(horizons) == 1:
+        return one(out_dir, horizons[0])
+    os.makedirs(out_dir, exist_ok=True)
+    buckets = []
+    for s in horizons:
+        sub = f"bucket_{s:g}s"
+        one(os.path.join(out_dir, sub), s)
+        buckets.append({"audio_seconds": s, "path": sub})
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        json.dump({"buckets": buckets,
+                   "architecture": avsr.config.architecture}, f, indent=1)
+    return out_dir

@@ -94,6 +94,31 @@ def test_export_av_align_beam(tmp_path, data):
     assert got == [want[u.uid] for u in data[:2]]
 
 
+def test_bucketed_export_routes_to_smallest_fit(tmp_path, data):
+    from avsr_tpu.serve import BucketedPredictor, load_predictor
+
+    avsr = _tiny_avsr(tmp_path, data)
+    avsr.train(num_epochs=1)
+    want = dict(avsr.predict(data[:2], use_beam=False))
+
+    out = export_serving_artifact(
+        avsr, str(tmp_path / "buckets"), use_beam=False, batch_size=2,
+        audio_seconds=(0.4, 1.0),
+    )
+    pred = load_predictor(out)
+    assert isinstance(pred, BucketedPredictor)
+    assert len(pred.buckets) == 2
+
+    short = [u.waveform for u in data[:2]]  # <= 0.3 s each
+    chosen = pred._pick(short, None)
+    assert chosen._inputs["audio"]["shape"][1] == int(0.4 * 16_000)
+    assert pred.transcribe(audio=short) == [want[u.uid] for u in data[:2]]
+
+    long = [np.zeros(int(0.8 * 16_000), np.float32)]
+    chosen = pred._pick(long, None)
+    assert chosen._inputs["audio"]["shape"][1] == int(1.0 * 16_000)
+
+
 def test_predictor_rejects_overruns(tmp_path, data):
     avsr = _tiny_avsr(tmp_path, data)
     avsr.train(num_epochs=1)

@@ -15,7 +15,9 @@ SURVEY.md §3.1-3.3 call stacks), all through the CLI:
      resume = uninterrupted training), and peak train RSS stayed bounded
      (streaming corpus never materializes);
   5. ``evaluate --matrix``: per-(noise type x SNR) condition files;
-  6. ``decode``: beam decode artifacts.
+  6. ``decode``: beam decode artifacts;
+  7. ``export``: AOT serving artifact, then a standalone Predictor
+     transcribes from the artifact alone (deployment path).
 
 Runs on CPU (JAX_PLATFORMS=cpu) so it validates the workflow, not device
 perf.  Usage:
@@ -262,6 +264,22 @@ def main() -> int:
     )
     run(CLI + ["decode", "--config", cfg_path, "--run-dir", run_b])
     checks["metrics_jsonl"] = os.path.exists(f"{run_b}/metrics.jsonl")
+
+    # ---- 7. export -> standalone serving ----------------------------------
+    art = f"{work}/artifact"
+    run(CLI + ["export", "--config", cfg_path, "--run-dir", run_b,
+               "--out", art, "--greedy", "--batch-size", "2",
+               "--seconds", "5"])
+    from avsr_tpu.data.tfrecord import read_dataset
+    from avsr_tpu.serve import Predictor
+
+    utts = read_dataset(f"{work}/eval.tfrecord")[:2]
+    pred = Predictor.load(art)
+    hyps = pred.transcribe(audio=[u.waveform for u in utts],
+                           video=[u.video for u in utts])
+    checks["export_serve_ok"] = (
+        len(hyps) == 2 and all(isinstance(h, str) for h in hyps)
+    )
 
     checks["wall_minutes"] = round((time.time() - t_all) / 60, 1)
     ok = all(v is True for k, v in checks.items()
