@@ -228,3 +228,54 @@ def test_tpu_noise_train_and_matrix():
     out = _run_on_device(_NOISE_SMOKE)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "NOISE_SMOKE_OK" in out.stdout, out.stdout
+
+
+_SERVE_SMOKE = r"""
+import tempfile
+import jax, numpy as np
+assert jax.devices()[0].platform != "cpu"
+
+from avsr_tpu.configs import (AudioFrontendConfig, DataConfig, DecodeConfig,
+                              DecoderConfig, EncoderConfig, ExperimentConfig,
+                              TrainConfig)
+from avsr_tpu.data.units import builtin_unit_dict
+from avsr_tpu.train import step as step_lib
+from avsr_tpu import serve
+
+cfg = ExperimentConfig(
+    architecture="audio",
+    audio=AudioFrontendConfig(num_mel_bins=12, fft_length=256,
+                              frame_stacking=3, frame_skipping=3,
+                              add_deltas=False),
+    audio_encoder=EncoderConfig(hidden_units=(32,), dropout_rate=0.0),
+    decoder=DecoderConfig(embedding_dim=8, hidden_units=(32,),
+                          attention_units=16, max_label_length=8,
+                          dropout_rate=0.0),
+    data=DataConfig(batch_size=2, max_label_length=8),
+    train=TrainConfig(compute_dtype="bfloat16"),
+    decode=DecodeConfig(beam_width=2, max_decode_length=8),
+)
+units = builtin_unit_dict("character")
+state, _ = step_lib.create_train_state(jax.random.PRNGKey(0), cfg,
+                                       units.vocab_size)
+exported, leaves, sig = serve.export_decode(
+    state.params, cfg, use_beam=True, batch_size=2, audio_seconds=0.3,
+    platforms=("cpu", "tpu"),
+)
+with tempfile.TemporaryDirectory() as tmp:
+    serve.save_artifact(tmp, exported, leaves, sig, units)
+    p = serve.Predictor.load(tmp)
+    hyps = p.transcribe(audio=[np.random.RandomState(0)
+                               .randn(2000).astype(np.float32) * 0.05])
+assert len(hyps) == 1 and isinstance(hyps[0], str)
+print("SERVE_SMOKE_OK", repr(hyps[0]))
+"""
+
+
+def test_tpu_serving_artifact():
+    """The cpu,tpu serving artifact must deserialize and decode on the
+    REAL device (the portable-deploy path; CPU-side tests can't prove the
+    tpu lowering half of the artifact)."""
+    out = _run_on_device(_SERVE_SMOKE)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SERVE_SMOKE_OK" in out.stdout, out.stdout
