@@ -168,6 +168,7 @@ def cmd_export(args) -> int:
         audio_seconds=seconds[0] if len(seconds) == 1 else seconds,
         platforms=tuple(args.platforms.split(",")) if args.platforms else None,
         checkpoint=int(args.checkpoint) if args.checkpoint else None,
+        data_parallel=args.data_parallel,
     )
     print(json.dumps({"artifact": out}))
     return 0
@@ -249,6 +250,9 @@ def main(argv=None) -> int:
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets "
                         "(default cpu,tpu: one artifact serves both)")
+    p.add_argument("--data-parallel", type=int, default=None,
+                   help="export a data-parallel program over N devices "
+                        "(params replicated, batch sharded)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("show-config", help="print the resolved config")

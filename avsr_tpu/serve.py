@@ -76,12 +76,19 @@ def export_decode(
     audio_seconds: float = 6.0,
     video_seconds: Optional[float] = None,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
 ):
     """Lower the full decode program to a serializable Exported.
 
     Returns (exported, params_leaves, input_signature).  ``platforms``
     defaults to the current backend; pass ("cpu", "tpu") for a single
     artifact deployable on either.
+
+    ``mesh`` (a jax.sharding.Mesh with a leading data axis) exports a
+    DATA-PARALLEL program: params replicated, the request batch sharded
+    over the axis, one exported artifact serving the whole slice.  The
+    serving host must expose exactly mesh.size devices (Predictor
+    rebuilds the mesh at load).
     """
     import jax
     from jax import export as jax_export
@@ -115,16 +122,36 @@ def export_decode(
         )
         return ids
 
-    leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
-    input_specs = [
-        jax.ShapeDtypeStruct(shape, np.dtype(dt)) for _, shape, dt in sig
-    ]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        if batch_size % mesh.shape[mesh.axis_names[0]] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide the mesh "
+                f"{mesh.axis_names[0]} axis "
+                f"({mesh.shape[mesh.axis_names[0]]})"
+            )
+        jitted = jax.jit(decode,
+                         in_shardings=(rep,) + (shard,) * len(sig),
+                         out_shardings=rep)
+        leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=rep)
+                      for l in leaves]
+        input_specs = [
+            jax.ShapeDtypeStruct(shape, np.dtype(dt), sharding=shard)
+            for _, shape, dt in sig
+        ]
+    else:
+        jitted = jax.jit(decode)
+        leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+        input_specs = [
+            jax.ShapeDtypeStruct(shape, np.dtype(dt)) for _, shape, dt in sig
+        ]
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jax_export.export(jax.jit(decode), **kwargs)(
-        leaf_specs, *input_specs
-    )
+    exported = jax_export.export(jitted, **kwargs)(leaf_specs, *input_specs)
     return exported, [np.asarray(l) for l in leaves], sig
 
 
@@ -147,6 +174,7 @@ def save_artifact(out_dir: str, exported, params_leaves, sig, unit_dict,
         "unit_type": unit_dict.unit_type,
         "pad_id": PAD_ID, "go_id": GO_ID, "eos_id": EOS_ID,
         "platforms": list(exported.platforms),
+        "num_devices": int(exported.nr_devices),
     }
     if extra_meta:
         meta.update(extra_meta)
@@ -169,6 +197,7 @@ class Predictor:
         self.meta = meta
         self._inputs = {i["name"]: i for i in meta["inputs"]}
         self._units = meta["units"]
+        self._shardings = None  # (replicated, batch) for DP artifacts
 
     @classmethod
     def load(cls, path: str) -> "Predictor":
@@ -226,9 +255,35 @@ class Predictor:
                .startswith("character") else " ")
         return sep.join(toks)
 
+    def _dp_place(self):
+        """Data-parallel artifact: rebuild the mesh and place the params
+        replicated / requests batch-sharded (one-time; leaves cached on
+        device)."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        n = int(self.meta.get("num_devices", 1))
+        devs = jax.devices()
+        if len(devs) < n:
+            raise RuntimeError(
+                f"artifact was exported for {n} devices; this host exposes "
+                f"{len(devs)}"
+            )
+        mesh = Mesh(np.asarray(devs[:n]).reshape(n), ("data",))
+        rep = NamedSharding(mesh, PartitionSpec())
+        shard = NamedSharding(mesh, PartitionSpec("data"))
+        self._leaves = [jax.device_put(l, rep) for l in self._leaves]
+        self._shardings = (rep, shard)
+
     def __call__(self, **arrays) -> np.ndarray:
         """Raw call: padded full-shape arrays in, hypothesis ids out."""
         args = [arrays[i["name"]] for i in self.meta["inputs"]]
+        if int(self.meta.get("num_devices", 1)) > 1:
+            import jax
+
+            if self._shardings is None:
+                self._dp_place()
+            args = [jax.device_put(a, self._shardings[1]) for a in args]
         return np.asarray(self._exported.call(self._leaves, *args))
 
     def transcribe(
@@ -313,6 +368,7 @@ def export_serving_artifact(
     video_seconds: Optional[float] = None,
     platforms: Optional[Sequence[str]] = ("cpu", "tpu"),
     checkpoint: Optional[int] = None,
+    data_parallel: Optional[int] = None,
 ) -> str:
     """AVSR-level one-call export: restore → lower → serialize.
 
@@ -326,7 +382,26 @@ def export_serving_artifact(
     horizon under ``out_dir/bucket_*``, with a root manifest;
     ``load_predictor`` then routes each request to the smallest fitting
     bucket (static-shape TPU serving).
+
+    ``data_parallel=N`` exports a DP program over an N-device mesh (params
+    replicated, request batch sharded; batch_size must divide N) — one
+    artifact serves the whole slice.  The serving host must expose >= N
+    devices; a Predictor loading it rebuilds the mesh automatically.
     """
+    mesh = None
+    if data_parallel is not None and data_parallel > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < data_parallel:
+            raise ValueError(
+                f"data_parallel={data_parallel} but only {len(devs)} "
+                "devices visible at export time"
+            )
+        # 1-D (data,) mesh, mirrored EXACTLY by Predictor._dp_place at load.
+        mesh = Mesh(np.asarray(devs[:data_parallel]).reshape(data_parallel),
+                    ("data",))
     trainer = avsr.trainer
     if checkpoint is not None:
         trainer.state, _, step = trainer.ckpt.restore(trainer.state,
@@ -346,7 +421,7 @@ def export_serving_artifact(
             trainer.state.params, avsr.config,
             use_beam=use_beam, batch_size=batch_size,
             audio_seconds=seconds, video_seconds=video_seconds,
-            platforms=platforms,
+            platforms=platforms, mesh=mesh,
         )
         return save_artifact(
             out, exported, leaves, sig, avsr.unit_dict,

@@ -137,3 +137,27 @@ def test_export_never_trained_raises(tmp_path, data):
     avsr = _tiny_avsr(tmp_path, data)
     with pytest.raises(RuntimeError, match="never-trained"):
         export_serving_artifact(avsr, str(tmp_path / "artifact3"))
+
+
+def test_data_parallel_export_matches_single_device(tmp_path, data):
+    """A DP-sharded artifact (8-device virtual mesh, params replicated,
+    batch sharded) must produce the single-device artifact's exact ids."""
+    import jax
+
+    assert len(jax.devices()) >= 8  # conftest virtual mesh
+    avsr = _tiny_avsr(tmp_path, data)
+    avsr.train(num_epochs=1)
+
+    single = export_serving_artifact(
+        avsr, str(tmp_path / "a1"), use_beam=False, batch_size=8,
+        audio_seconds=0.4,
+    )
+    dp = export_serving_artifact(
+        avsr, str(tmp_path / "a8"), use_beam=False, batch_size=8,
+        audio_seconds=0.4, data_parallel=8,
+    )
+    p1, p8 = Predictor.load(single), Predictor.load(dp)
+    assert p8.meta["num_devices"] == 8 and p1.meta["num_devices"] == 1
+
+    wavs = [u.waveform for u in data]  # 8 utterances
+    assert p8.transcribe(audio=wavs) == p1.transcribe(audio=wavs)
