@@ -175,6 +175,10 @@ def save_artifact(out_dir: str, exported, params_leaves, sig, unit_dict,
         "pad_id": PAD_ID, "go_id": GO_ID, "eos_id": EOS_ID,
         "platforms": list(exported.platforms),
         "num_devices": int(exported.nr_devices),
+        # Ops breadcrumbs: jax.export guarantees compatibility windows by
+        # calling-convention version; record what produced the artifact.
+        "jax_version": __import__("jax").__version__,
+        "calling_convention": int(exported.calling_convention_version),
     }
     if extra_meta:
         meta.update(extra_meta)
