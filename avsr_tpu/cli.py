@@ -169,6 +169,7 @@ def cmd_export(args) -> int:
         platforms=tuple(args.platforms.split(",")) if args.platforms else None,
         checkpoint=int(args.checkpoint) if args.checkpoint else None,
         data_parallel=args.data_parallel,
+        transfer=args.transfer,
     )
     print(json.dumps({"artifact": out}))
     return 0
@@ -253,6 +254,11 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", type=int, default=None,
                    help="export a data-parallel program over N devices "
                         "(params replicated, batch sharded)")
+    p.add_argument("--transfer", default="compact",
+                   choices=("compact", "float32"),
+                   help="request wire dtypes: compact = int16 PCM audio / "
+                        "uint8 ROI video, dequantized on device (2-4x "
+                        "fewer host-to-device bytes per request)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("show-config", help="print the resolved config")

@@ -43,26 +43,40 @@ PAD_ID, GO_ID, EOS_ID = 0, 1, 2
 
 
 def _input_signature(cfg, batch_size: int, audio_seconds: float,
-                     video_seconds: Optional[float]) -> List[Tuple[str, tuple, str]]:
-    """(name, shape, dtype) for each array the architecture consumes."""
+                     video_seconds: Optional[float],
+                     transfer: str = "float32") -> List[Tuple[str, tuple, str]]:
+    """(name, shape, dtype) for each array the architecture consumes.
+
+    ``transfer="compact"`` mirrors the training loader's
+    ``data.transfer_dtype``: int16 PCM audio and uint8 ROI video on the
+    wire, dequantized ON DEVICE inside the exported program
+    (models/seq2seq.py encode handles both dtypes) — 2x/4x fewer
+    host→device bytes per request, which dominates real serving latency
+    (RESULTS.md round-3 serving measurements).  AU-feature video stays
+    float32 (intensities are not [0, 1]-bounded).
+    """
     import math
 
     if video_seconds is None:
         video_seconds = audio_seconds
+    compact = transfer == "compact"
     sig: List[Tuple[str, tuple, str]] = []
     arch = cfg.architecture
     if arch in ("audio", "av_align", "bimodal"):
         S = int(round(audio_seconds * cfg.audio.sample_rate))
-        sig.append(("audio", (batch_size, S), "float32"))
+        sig.append(("audio", (batch_size, S),
+                    "int16" if compact else "float32"))
         sig.append(("audio_lengths", (batch_size,), "int32"))
     if arch in ("video", "av_align", "bimodal"):
         T_v = int(math.ceil(video_seconds * cfg.data.video_fps))
         v = cfg.video
         if v.use_au_features:
             shape = (batch_size, T_v, v.au_dim)
+            vdt = "float32"
         else:
             shape = (batch_size, T_v, v.roi_height, v.roi_width, v.channels)
-        sig.append(("video", shape, "float32"))
+            vdt = "uint8" if compact else "float32"
+        sig.append(("video", shape, vdt))
         sig.append(("video_lengths", (batch_size,), "int32"))
     return sig
 
@@ -77,6 +91,7 @@ def export_decode(
     video_seconds: Optional[float] = None,
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
+    transfer: str = "float32",
 ):
     """Lower the full decode program to a serializable Exported.
 
@@ -97,7 +112,8 @@ def export_decode(
     from avsr_tpu.decode.greedy import greedy_decode
     from avsr_tpu.models import seq2seq
 
-    sig = _input_signature(cfg, batch_size, audio_seconds, video_seconds)
+    sig = _input_signature(cfg, batch_size, audio_seconds, video_seconds,
+                           transfer)
     names = [n for n, _, _ in sig]
     leaves, treedef = jax.tree_util.tree_flatten(state_params)
 
@@ -231,7 +247,7 @@ class Predictor:
         out = np.zeros(shape, dtype)
         lengths = np.zeros((B,), np.int32)
         for i, s in enumerate(seqs):
-            s = np.asarray(s, dtype)
+            s = np.asarray(s)
             if s.shape[0] > S:
                 raise ValueError(
                     f"{name} input {i} has {s.shape[0]} steps; exported "
@@ -242,9 +258,35 @@ class Predictor:
                     f"{name} input {i} trailing shape {s.shape[1:]} != "
                     f"exported {shape[2:]}"
                 )
-            out[i, : s.shape[0]] = s
+            out[i, : s.shape[0]] = self._quantize(name, s, dtype)
             lengths[i] = s.shape[0]
         return out, lengths
+
+    @staticmethod
+    def _quantize(name: str, s: np.ndarray, dtype: str) -> np.ndarray:
+        """Float request -> the exported wire dtype (compact artifacts
+        quantize on the host, dequantize on device; loader semantics)."""
+        if dtype == "int16":
+            if np.issubdtype(s.dtype, np.integer):
+                return s.astype(np.int16)
+            peak = float(np.abs(s).max()) if s.size else 0.0
+            if peak > 1.0 + 1e-6:
+                raise ValueError(
+                    f"{name} request peaks at {peak:.3f}; compact artifacts "
+                    "expect waveforms in [-1, 1] (PCM scale)"
+                )
+            return np.round(s * 32767.0).astype(np.int16)
+        if dtype == "uint8":
+            if s.dtype == np.uint8:
+                return s
+            lo, hi = (float(s.min()), float(s.max())) if s.size else (0.0, 0.0)
+            if lo < -1e-6 or hi > 1.0 + 1e-6:
+                raise ValueError(
+                    f"{name} request range [{lo:.3f}, {hi:.3f}]; compact "
+                    "artifacts expect ROI pixels in [0, 1]"
+                )
+            return np.round(s * 255.0).astype(np.uint8)
+        return s.astype(dtype)
 
     def decode_ids(self, ids: np.ndarray) -> str:
         toks = []
@@ -373,6 +415,7 @@ def export_serving_artifact(
     platforms: Optional[Sequence[str]] = ("cpu", "tpu"),
     checkpoint: Optional[int] = None,
     data_parallel: Optional[int] = None,
+    transfer: str = "compact",
 ) -> str:
     """AVSR-level one-call export: restore → lower → serialize.
 
@@ -391,6 +434,12 @@ def export_serving_artifact(
     replicated, request batch sharded; batch_size must divide N) — one
     artifact serves the whole slice.  The serving host must expose >= N
     devices; a Predictor loading it rebuilds the mesh automatically.
+
+    ``transfer`` defaults to "compact" (int16 PCM / uint8 ROI on the wire,
+    dequantized on device): request host→device bytes drop 2x (audio) /
+    4x (video), and measured flagship serving latency is transfer-bound
+    (RESULTS.md round-3 serving section).  Use "float32" for bit-identical
+    parity with the in-process float path on non-PCM-grid inputs.
     """
     mesh = None
     if data_parallel is not None and data_parallel > 1:
@@ -425,7 +474,7 @@ def export_serving_artifact(
             trainer.state.params, avsr.config,
             use_beam=use_beam, batch_size=batch_size,
             audio_seconds=seconds, video_seconds=video_seconds,
-            platforms=platforms, mesh=mesh,
+            platforms=platforms, mesh=mesh, transfer=transfer,
         )
         return save_artifact(
             out, exported, leaves, sig, avsr.unit_dict,
@@ -436,6 +485,7 @@ def export_serving_artifact(
                 ),
                 "checkpoint_step": int(trainer._host_step),
                 "audio_seconds": seconds,
+                "transfer": transfer,
             },
         )
 

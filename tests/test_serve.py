@@ -16,9 +16,18 @@ from avsr_tpu.serve import Predictor, export_serving_artifact
 
 @pytest.fixture(scope="module")
 def data():
-    return generate(SyntheticSpec(num_utterances=8, min_chars=2, max_chars=3,
+    utts = generate(SyntheticSpec(num_utterances=8, min_chars=2, max_chars=3,
                                   seed=11, alphabet="ab", roi=20,
                                   char_duration_s=0.1))
+    # Align the synthetic signals to the compact wire grids (int16 PCM,
+    # uint8 pixels) so exported-compact vs in-process-float comparisons
+    # are EXACT — real corpora are grid-aligned by construction (16-bit
+    # wavs, uint8 ROI crops).
+    for u in utts:
+        u.waveform = (np.round(u.waveform * 32767.0) / 32767.0).astype(
+            np.float32)
+        u.video = (np.round(u.video * 255.0) / 255.0).astype(np.float32)
+    return utts
 
 
 def _tiny_avsr(tmp_path, data, architecture="audio"):
@@ -77,6 +86,35 @@ def test_export_roundtrip_matches_predict(tmp_path, data):
     assert pred.batch_size == 4
     # Portable by default: one artifact serves CPU and TPU hosts.
     assert sorted(pred.meta["platforms"]) == ["cpu", "tpu"]
+    # Compact wire by default: int16 PCM on the wire, dequantized on device.
+    assert pred._inputs["audio"]["dtype"] == "int16"
+
+
+def test_compact_wire_rejects_out_of_range(tmp_path, data):
+    avsr = _tiny_avsr(tmp_path, data)
+    avsr.train(num_epochs=1)
+    out = export_serving_artifact(
+        avsr, str(tmp_path / "artifact_rng"), use_beam=False, batch_size=2,
+        audio_seconds=0.4,
+    )
+    pred = Predictor.load(out)
+    with pytest.raises(ValueError, match=r"\[-1, 1\]"):
+        pred.transcribe(audio=[np.full(1600, 2.5, np.float32)])
+
+
+def test_float32_transfer_export(tmp_path, data):
+    """transfer='float32' keeps the reference wire dtypes."""
+    avsr = _tiny_avsr(tmp_path, data)
+    avsr.train(num_epochs=1)
+    want = dict(avsr.predict(data[:2], use_beam=False))
+    out = export_serving_artifact(
+        avsr, str(tmp_path / "artifact_f32"), use_beam=False, batch_size=2,
+        audio_seconds=0.5, transfer="float32",
+    )
+    pred = Predictor.load(out)
+    assert pred._inputs["audio"]["dtype"] == "float32"
+    got = pred.transcribe(audio=[u.waveform for u in data[:2]])
+    assert got == [want[u.uid] for u in data[:2]]
 
 
 def test_export_av_align_beam(tmp_path, data):
