@@ -88,6 +88,12 @@ def test_export_roundtrip_matches_predict(tmp_path, data):
     assert sorted(pred.meta["platforms"]) == ["cpu", "tpu"]
     # Compact wire by default: int16 PCM on the wire, dequantized on device.
     assert pred._inputs["audio"]["dtype"] == "int16"
+    # Params are pinned on device after the first call — a host-numpy leaf
+    # list would re-transfer the full parameter set per request (measured
+    # to dominate flagship serving latency over the TPU relay).
+    import jax
+
+    assert all(isinstance(l, jax.Array) for l in pred._leaves)
 
 
 def test_compact_wire_rejects_out_of_range(tmp_path, data):
