@@ -175,6 +175,76 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_transcribe(args) -> int:
+    """Transcribe media files with an exported serving artifact — the
+    standalone deployment path (docs/SERVING.md): no config, no
+    checkpoint, no model code; just the artifact directory written by
+    ``cli export``."""
+    import numpy as np
+
+    from avsr_tpu.serve import BucketedPredictor, load_predictor
+
+    pred = load_predictor(args.artifact)
+    B = (min(p.batch_size for p in pred.buckets)
+         if isinstance(pred, BucketedPredictor) else pred.batch_size)
+    names = {i["name"] for i in pred.meta["inputs"]}
+    need_audio, need_video = "audio" in names, "video" in names
+
+    def load_audio(path):
+        if path.endswith(".npy"):
+            return np.asarray(np.load(path), np.float32)
+        from avsr_tpu.data.ingest import load_wav
+
+        return load_wav(path)
+
+    def load_video(path):
+        if path.endswith(".npy"):
+            v = np.asarray(np.load(path), np.float32)
+            return v[..., None] if v.ndim == 3 else v
+        from avsr_tpu.data.ingest import extract_lip_rois
+
+        return extract_lip_rois(path)
+
+    files = list(args.inputs)
+    videos = list(args.video or [])
+    if need_video and not need_audio:
+        # video-only artifact: the positional inputs ARE the videos
+        files, videos = [], (videos or files)
+    if need_audio and not files:
+        raise SystemExit("artifact requires audio inputs (.wav or .npy)")
+    if need_video and not videos:
+        raise SystemExit(
+            "artifact requires video inputs: --video FILE per utterance "
+            "(.npy ROI array or a video file for cv2 extraction)"
+        )
+    if need_audio and need_video and len(files) != len(videos):
+        raise SystemExit(
+            f"{len(files)} audio but {len(videos)} video inputs"
+        )
+
+    keys = files if need_audio else videos
+    results: List[str] = []
+    for lo in range(0, len(keys), B):
+        kw = {}
+        if need_audio:
+            kw["audio"] = [load_audio(p) for p in files[lo:lo + B]]
+        if need_video:
+            kw["video"] = [load_video(p) for p in videos[lo:lo + B]]
+        results.extend(pred.transcribe(**kw))
+
+    out_f = open(args.out, "w") if args.out else None
+    try:
+        for name, text in zip(keys, results):
+            line = json.dumps({"file": name, "text": text})
+            print(line)
+            if out_f:
+                out_f.write(line + "\n")
+    finally:
+        if out_f:
+            out_f.close()
+    return 0
+
+
 def cmd_show_config(args) -> int:
     cfg = _load_config(args)
     print(cfg.to_json())
@@ -260,6 +330,22 @@ def main(argv=None) -> int:
                         "uint8 ROI video, dequantized on device (2-4x "
                         "fewer host-to-device bytes per request)")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "transcribe",
+        help="transcribe media files with an exported serving artifact",
+    )
+    p.add_argument("--artifact", required=True,
+                   help="artifact directory written by `export`")
+    p.add_argument("inputs", nargs="+",
+                   help=".wav or .npy waveform files (video-only "
+                        "artifacts: the video files/ROI .npy arrays)")
+    p.add_argument("--video", action="append", default=None,
+                   help="one per utterance: .npy ROI array [T,h,w(,1)] or "
+                        "a video file for cv2 lip-ROI extraction")
+    p.add_argument("--out", default=None,
+                   help="also write the JSONL transcripts here")
+    p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("show-config", help="print the resolved config")
     common(p)

@@ -153,3 +153,37 @@ def test_cli_train_export_serve_roundtrip(tmp_path, capsys):
     hyps = pred.transcribe(audio=[utts[0].waveform, utts[1].waveform])
     assert len(hyps) == 2 and all(isinstance(h, str) for h in hyps)
     assert pred.meta["checkpoint_step"] > 0
+
+    # The `transcribe` subcommand: media files in -> text out, from the
+    # artifact alone (no config/run-dir).  3 inputs > batch_size=2
+    # exercises the request-chunking loop; the wav round-trips through
+    # int16 PCM and the .npy paths are the raw waveforms.
+    import wave
+
+    wav_path = str(tmp_path / "u0.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(
+            (np.clip(utts[0].waveform, -1, 1) * 32767)
+            .astype("<i2").tobytes()
+        )
+    npys = []
+    for i in (1, 2):
+        path = str(tmp_path / f"u{i}.npy")
+        np.save(path, utts[i].waveform)
+        npys.append(path)
+    out_path = str(tmp_path / "hyps.jsonl")
+    capsys.readouterr()
+    rc = cli.main(["transcribe", "--artifact", art, wav_path, *npys,
+                   "--out", out_path])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(out_path)]
+    assert [l["file"] for l in lines] == [wav_path, *npys]
+    # The .npy input is byte-identical to the in-process request above ->
+    # identical transcript; stdout mirrors the JSONL file.
+    assert lines[1]["text"] == hyps[1]
+    stdout = [json.loads(l) for l in
+              capsys.readouterr().out.strip().splitlines()]
+    assert stdout == lines
