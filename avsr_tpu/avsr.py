@@ -198,6 +198,21 @@ class AVSR:
         if noise_bank is None and noise_bank_record:
             noise_bank = _load_noise_bank(noise_bank_record)
 
+        # Config-driven mesh (train.num_data_shards x train.num_model_shards):
+        # data parallelism over the batch axis plus optional tensor
+        # parallelism over the model axis (parallel/tp.py).  An explicitly
+        # passed mesh wins; both knobs at 1 keeps the single-device path.
+        if mesh is None and (
+            config.train.num_data_shards > 1
+            or config.train.num_model_shards > 1
+        ):
+            from avsr_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(
+                num_data=config.train.num_data_shards,
+                num_model=config.train.num_model_shards,
+            )
+
         self.trainer = Trainer(
             config, self.unit_dict, self.train_loader, self.eval_loader,
             run_dir=run_dir, noise_bank=noise_bank, mesh=mesh,

@@ -292,9 +292,13 @@ class TrainConfig:
     eval_every_epochs: int = 1
     log_every_steps: int = 50
     seed: int = 42
-    # Device mesh: data parallelism over this many devices (1-D mesh).
+    # Device mesh (parallel/mesh.py): batch axis sharded over
+    # num_data_shards devices (gradient all-reduce inserted by XLA), and
+    # params/optimizer tensor-parallel over num_model_shards devices
+    # (Megatron-style output-dim sharding, parallel/tp.py).  Both 1 =
+    # single-device.  AVSR builds the mesh from these knobs when no
+    # explicit mesh is passed.
     num_data_shards: int = 1
-    # Extra mesh axes kept for forward-compat (TP is a sharding away).
     num_model_shards: int = 1
 
 

@@ -32,6 +32,14 @@ def make_mesh(
     if num_data is None:
         num_data = len(devices) // num_model
     use = num_data * num_model
+    if len(devices) < use:
+        raise ValueError(
+            f"mesh ({num_data} data x {num_model} model) needs {use} "
+            f"devices but only {len(devices)} are visible; lower "
+            f"train.num_data_shards/num_model_shards or run with "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+            f"virtual CPU mesh"
+        )
     grid = np.asarray(devices[:use]).reshape(num_data, num_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

@@ -86,8 +86,23 @@ class Trainer:
         self.state, self.tx = step_lib.create_train_state(
             rng, cfg, unit_dict.vocab_size, steps_per_epoch
         )
+        # Tensor parallelism (beyond-parity scale-out, parallel/tp.py):
+        # when the mesh has a model axis, shard params + Adam slots over it
+        # and pin the step's output state to the same shards.
+        self._state_shardings = None
+        if mesh is not None:
+            from avsr_tpu.parallel.mesh import MODEL_AXIS
+
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                from avsr_tpu.parallel import tp
+
+                self.state = tp.shard_train_state(mesh, self.state, self.tx)
+                self._state_shardings = tp.train_state_shardings(
+                    mesh, self.state, self.tx
+                )
         self.train_step = step_lib.make_jitted_train_step(
-            cfg, self.tx, mesh=mesh, noise_bank=self.noise_bank
+            cfg, self.tx, mesh=mesh, noise_bank=self.noise_bank,
+            state_shardings=self._state_shardings,
         )
         self.ckpt = CheckpointManager(
             os.path.join(self.run_dir, cfg.train.checkpoint_dir),
@@ -138,6 +153,10 @@ class Trainer:
         loader's shuffle order is deterministic in (seed, epoch) and every
         in-step rng is folded from the restored ``state.step``."""
         self.state, extra, step = self.ckpt.restore(self.state, step=step)
+        if self._state_shardings is not None:
+            # orbax restores onto default devices; put the tree back on its
+            # model-axis shards before the (donating) train step sees it.
+            self.state = jax.device_put(self.state, self._state_shardings)
         self.epoch = int(extra.get("epoch", 0)) if extra else 0
         self._resume_batches = int(extra.get("batches_done", 0)) if extra else 0
         self._host_step = int(step)

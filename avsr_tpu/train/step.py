@@ -86,13 +86,17 @@ def make_jitted_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     noise_bank: Optional[Union[NoiseBank, jnp.ndarray]] = None,
+    state_shardings=None,
 ):
     """Build the jitted train step.
 
     Sharding is computation-follows-data under GSPMD: the loop places the
     batch with batch-axis sharding and the state replicated
     (parallel/mesh.py); with a mesh we additionally pin the output state to
-    replicated so the updated params never pick up batch shardings.
+    replicated so the updated params never pick up batch shardings.  Under
+    tensor parallelism (``state_shardings`` from
+    ``parallel.tp.train_state_shardings``) the output state is pinned to
+    its model-axis shards instead.
     """
     fn = functools.partial(train_step, cfg=cfg, tx=tx, noise_bank=noise_bank)
     if mesh is None:
@@ -100,7 +104,8 @@ def make_jitted_train_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    return jax.jit(fn, donate_argnums=(0,), out_shardings=(repl, repl))
+    out_state = state_shardings if state_shardings is not None else repl
+    return jax.jit(fn, donate_argnums=(0,), out_shardings=(out_state, repl))
 
 
 def make_jitted_eval_step(
