@@ -100,6 +100,11 @@ class Trainer:
                 self._state_shardings = tp.train_state_shardings(
                     mesh, self.state, self.tx
                 )
+                self.logger.info(
+                    tp.describe(
+                        self.state.params, int(mesh.shape[MODEL_AXIS])
+                    )
+                )
         self.train_step = step_lib.make_jitted_train_step(
             cfg, self.tx, mesh=mesh, noise_bank=self.noise_bank,
             state_shardings=self._state_shardings,
