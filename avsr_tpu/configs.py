@@ -239,6 +239,12 @@ class DataConfig:
     # working set (the 10 s bucket measured SUPERLINEAR step cost at B=128
     # — RESULTS.md round 3).  None = batch_size for every bucket.
     bucket_batch_sizes: Optional[Tuple[int, ...]] = None
+    # Per-bucket gradient-accumulation factors (len == number of buckets);
+    # each must divide that bucket's batch size.  Lets long buckets run at
+    # their throughput-optimal micro-batch (bucket_batch_sizes) while
+    # keeping a constant EFFECTIVE batch across the mix.  Overrides
+    # train.grad_accum_steps per bucket; None = use the global knob.
+    bucket_grad_accum: Optional[Tuple[int, ...]] = None
     video_fps: float = 25.0
     max_audio_seconds: float = 16.0
     max_label_length: int = 150
@@ -292,6 +298,14 @@ class TrainConfig:
     eval_every_epochs: int = 1
     log_every_steps: int = 50
     seed: int = 42
+    # Gradient accumulation (train/step.py): split every batch into this
+    # many micro-batches on device (lax.scan) and apply ONE optimizer
+    # update — activation memory scales with the micro-batch while the
+    # effective batch, loader, and checkpoint semantics are unchanged.
+    # Token-weighted accumulation keeps the CE gradient exactly equal to
+    # the full-batch gradient.  Per-bucket factors:
+    # data.bucket_grad_accum.
+    grad_accum_steps: int = 1
     # Device mesh (parallel/mesh.py): batch axis sharded over
     # num_data_shards devices (gradient all-reduce inserted by XLA), and
     # params/optimizer tensor-parallel over num_model_shards devices

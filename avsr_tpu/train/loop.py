@@ -67,6 +67,35 @@ class Trainer:
                     f"data axis ({n_data} shards); adjust data.batch_size/"
                     f"data.bucket_batch_sizes"
                 )
+        # Gradient accumulation: validate factors up front (a bad factor
+        # otherwise surfaces as an opaque reshape/scan error mid-epoch).
+        bga = cfg.data.bucket_grad_accum
+        if cfg.train.grad_accum_steps < 1:
+            raise ValueError("train.grad_accum_steps must be >= 1")
+        if bga:
+            bbs = cfg.data.bucket_batch_sizes
+            if bbs and len(bga) != len(bbs):
+                raise ValueError(
+                    f"data.bucket_grad_accum ({len(bga)}) must match "
+                    f"data.bucket_batch_sizes ({len(bbs)})"
+                )
+            for i, a in enumerate(bga):
+                bsz = bbs[i] if bbs else cfg.data.batch_size
+                if a < 1 or bsz % a:
+                    raise ValueError(
+                        f"bucket {i}: grad accum {a} must divide its batch "
+                        f"size {bsz}"
+                    )
+        elif cfg.train.grad_accum_steps > 1:
+            for bsz in set(cfg.data.bucket_batch_sizes or ()) | {
+                cfg.data.batch_size
+            }:
+                if bsz % cfg.train.grad_accum_steps:
+                    raise ValueError(
+                        f"train.grad_accum_steps "
+                        f"({cfg.train.grad_accum_steps}) must divide every "
+                        f"batch size (got {bsz})"
+                    )
         self.noise_bank = None
         if noise_bank is not None:
             from avsr_tpu.ops.noise import NoiseBank
@@ -105,10 +134,9 @@ class Trainer:
                         self.state.params, int(mesh.shape[MODEL_AXIS])
                     )
                 )
-        self.train_step = step_lib.make_jitted_train_step(
-            cfg, self.tx, mesh=mesh, noise_bank=self.noise_bank,
-            state_shardings=self._state_shardings,
-        )
+        # One jitted program per (bucket shape, accum factor); the cache
+        # keys on accum, XLA's jit cache keys on shapes.
+        self._train_step_cache = {}
         self.ckpt = CheckpointManager(
             os.path.join(self.run_dir, cfg.train.checkpoint_dir),
             keep=cfg.train.keep_checkpoints,
@@ -135,6 +163,23 @@ class Trainer:
         # bit-exactly (same guarantee as the SIGKILL path, without losing
         # the batches since the last periodic save).
         self._stop_requested = False
+
+    def _train_step_for_accum(self, accum: int):
+        fn = self._train_step_cache.get(accum)
+        if fn is None:
+            fn = step_lib.make_jitted_train_step(
+                self.cfg, self.tx, mesh=self.mesh,
+                noise_bank=self.noise_bank,
+                state_shardings=self._state_shardings, accum=accum,
+            )
+            self._train_step_cache[accum] = fn
+        return fn
+
+    def _accum_for(self, bucket: int) -> int:
+        bga = self.cfg.data.bucket_grad_accum
+        if bga:
+            return max(int(bga[bucket]), 1)
+        return max(self.cfg.train.grad_accum_steps, 1)
 
     def request_stop(self) -> None:
         """Ask the running train() loop to checkpoint and return after the
@@ -235,7 +280,8 @@ class Trainer:
                     yield bucket, np_batch, self._place(to_model_batch(np_batch))
 
             for bucket, np_batch, batch in prefetch(device_batches()):
-                self.state, metrics = self.train_step(
+                step_fn = self._train_step_for_accum(self._accum_for(bucket))
+                self.state, metrics = step_fn(
                     self.state, batch, self._data_rng
                 )
                 self._host_step += 1
@@ -313,7 +359,8 @@ class Trainer:
             # argument, so passing self.state's own buffers would
             # invalidate the real training state.
             state_copy = jax.tree_util.tree_map(jnp.copy, self.state)
-            _, metrics = self.train_step(state_copy, batch, self._data_rng)
+            step_fn = self._train_step_for_accum(self._accum_for(b))
+            _, metrics = step_fn(state_copy, batch, self._data_rng)
             float(metrics["loss"])  # true host sync: wait out the compile
             n += 1
             self.logger.info(

@@ -49,16 +49,84 @@ def train_step(
     cfg: ExperimentConfig,
     tx: optax.GradientTransformation,
     noise_bank: Optional[Union[NoiseBank, jnp.ndarray]] = None,
+    accum: int = 1,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One optimization step.  Pure; jit/shard outside."""
+    """One optimization step.  Pure; jit/shard outside.
+
+    ``accum > 1`` splits the batch into that many micro-batches on device
+    and accumulates gradients over a ``lax.scan`` before the single
+    optimizer update — activation memory drops to one micro-batch's worth
+    while the EFFECTIVE batch (and the loader/checkpoint semantics) stay
+    unchanged.  Micro-gradients are weighted by their valid-label-token
+    counts, so the accumulated CE gradient equals the full-batch gradient
+    exactly (sequence_loss normalizes by sum(mask); the AU term uses the
+    same token weights, an approximation of its frame normalization).
+    Dropout/noise rngs are folded per micro-batch.
+    """
     step_rng = jax.random.fold_in(rng, state.step)
 
-    def lf(params):
-        return seq2seq.loss_fn(
-            params, cfg, batch, train=True, rng=step_rng, noise_bank=noise_bank
+    if accum <= 1:
+        def lf(params):
+            return seq2seq.loss_fn(
+                params, cfg, batch, train=True, rng=step_rng,
+                noise_bank=noise_bank,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
+            state.params
+        )
+    else:
+        B = batch.targets.shape[0]
+        if B % accum:
+            raise ValueError(f"batch rows {B} not divisible by accum {accum}")
+        b = B // accum
+        K = batch.targets.shape[1]
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(accum, b, *x.shape[1:]), batch
         )
 
-    (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+        def lf(params, mb, r):
+            return seq2seq.loss_fn(
+                params, cfg, mb, train=True, rng=r, noise_bank=noise_bank
+            )
+
+        grad_fn = jax.value_and_grad(lf, has_aux=True)
+
+        def micro_weight(mb):
+            # mirrors sequence_loss's mask: sum(min(target_lengths, K))
+            return jnp.maximum(
+                jnp.sum(jnp.minimum(mb.target_lengths, K)), 1
+            ).astype(jnp.float32)
+
+        def one(a, mb):
+            (loss, metrics), g = grad_fn(
+                state.params, mb, jax.random.fold_in(step_rng, a)
+            )
+            w = micro_weight(mb)
+            wg = jax.tree_util.tree_map(lambda x: w * x, g)
+            wm = {k: w * v for k, v in metrics.items()}
+            return wg, wm, w
+
+        # first micro-batch initializes the carry (metric keys are only
+        # known after one trace); scan accumulates the rest
+        first = jax.tree_util.tree_map(lambda x: x[0], micro)
+        gsum, msum, wsum = one(0, first)
+
+        def body(carry, xs):
+            gsum, msum, wsum = carry
+            a, mb = xs
+            wg, wm, w = one(a, mb)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, wg)
+            msum = {k: msum[k] + wm[k] for k in msum}
+            return (gsum, msum, wsum + w), None
+
+        rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
+        (gsum, msum, wsum), _ = jax.lax.scan(
+            body, (gsum, msum, wsum), (jnp.arange(1, accum), rest)
+        )
+        grads = jax.tree_util.tree_map(lambda x: x / wsum, gsum)
+        metrics = {k: v / wsum for k, v in msum.items()}
+
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     metrics = dict(metrics)
@@ -87,6 +155,7 @@ def make_jitted_train_step(
     mesh=None,
     noise_bank: Optional[Union[NoiseBank, jnp.ndarray]] = None,
     state_shardings=None,
+    accum: int = 1,
 ):
     """Build the jitted train step.
 
@@ -98,7 +167,9 @@ def make_jitted_train_step(
     ``parallel.tp.train_state_shardings``) the output state is pinned to
     its model-axis shards instead.
     """
-    fn = functools.partial(train_step, cfg=cfg, tx=tx, noise_bank=noise_bank)
+    fn = functools.partial(
+        train_step, cfg=cfg, tx=tx, noise_bank=noise_bank, accum=accum
+    )
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,))
     from jax.sharding import NamedSharding, PartitionSpec as P
