@@ -175,6 +175,31 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve an exported artifact over HTTP with dynamic request batching
+    (avsr_tpu/serve_host.py): concurrent requests arriving within
+    --max-wait-ms coalesce into one batched decode program call."""
+    from avsr_tpu.serve_host import make_server
+
+    server, batcher = make_server(
+        args.artifact, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    )
+    host, port = server.server_address[:2]
+    print(json.dumps({
+        "serving": args.artifact, "host": host, "port": port,
+        "max_batch": batcher.max_batch, "max_wait_ms": args.max_wait_ms,
+    }), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        batcher.close()
+    return 0
+
+
 def cmd_transcribe(args) -> int:
     """Transcribe media files with an exported serving artifact — the
     standalone deployment path (docs/SERVING.md): no config, no
@@ -330,6 +355,22 @@ def main(argv=None) -> int:
                         "uint8 ROI video, dequantized on device (2-4x "
                         "fewer host-to-device bytes per request)")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "serve",
+        help="serve an exported artifact over HTTP with dynamic batching")
+    p.add_argument("--artifact", required=True,
+                   help="artifact directory from `export`")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000,
+                   help="0 = pick an ephemeral port (printed on startup)")
+    p.add_argument("--max-batch", type=int, default=None,
+                   help="cap coalesced batch size (default: the artifact's "
+                        "exported batch size)")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="how long the first request in a batch waits for "
+                        "company before decoding")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(
         "transcribe",
