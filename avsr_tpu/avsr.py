@@ -311,7 +311,7 @@ class AVSR:
             snrs, noise_types=noise_types, use_beam=use_beam
         )
 
-    def predict(self, utterances, use_beam: bool = True):
+    def predict(self, utterances, use_beam: bool = True, n_best: int = 1):
         """Transcribe raw utterances -> list of (uid, hypothesis) pairs.
 
         Convenience inference API: accepts in-memory Utterance objects (only
@@ -320,6 +320,11 @@ class AVSR:
         latest checkpoint when one exists and nothing was trained this
         session; a never-trained model with no checkpoint raises (silently
         transcribing with random params helps nobody).
+
+        ``n_best > 1`` (beam only) returns
+        ``(uid, [(hypothesis, score), ...])`` pairs ranked best-first with
+        length-normalized log-prob scores — the rescoring/analysis surface
+        the reference's top-1-only BeamSearchDecoder lacks.
         """
         import numpy as np
 
@@ -348,14 +353,29 @@ class AVSR:
             frame_step=cfg.audio.frame_step,
             frame_length=cfg.audio.frame_length,
         )
-        decode_fn = self.trainer._make_decode_fn(use_beam)
+        if n_best > 1 and not use_beam:
+            raise ValueError("n_best > 1 requires use_beam=True")
+        decode_fn = self.trainer._make_decode_fn(use_beam, n_best=n_best)
         out = []
         for _, np_batch in loader.epoch(shuffle=False):
-            ids = np.asarray(
-                decode_fn(self.trainer.state.params, to_model_batch(np_batch))
+            res = decode_fn(
+                self.trainer.state.params, to_model_batch(np_batch)
             )
-            for j in range(np_batch["num_real"]):
-                out.append((np_batch["uids"][j], self.unit_dict.decode(ids[j])))
+            if n_best > 1:
+                ids, scores = np.asarray(res[0]), np.asarray(res[1])
+                for j in range(np_batch["num_real"]):
+                    alts = [
+                        (self.unit_dict.decode(ids[j, r]),
+                         float(scores[j, r]))
+                        for r in range(ids.shape[1])
+                    ]
+                    out.append((np_batch["uids"][j], alts))
+            else:
+                ids = np.asarray(res)
+                for j in range(np_batch["num_real"]):
+                    out.append(
+                        (np_batch["uids"][j], self.unit_dict.decode(ids[j]))
+                    )
         return out
 
 

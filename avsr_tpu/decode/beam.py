@@ -42,6 +42,13 @@ class BeamResult(NamedTuple):
     lengths: jnp.ndarray  # [B] tokens incl. EOS
     scores: jnp.ndarray   # [B] length-normalized log prob of the winner
     steps: jnp.ndarray    # [] decode steps actually executed (early exit)
+    # Populated only when beam_search(n_best > 1): ranked alternatives
+    # (index 0 == the fields above).  None by default so jitted callers
+    # (the fused eval program) never materialize [B, N, L] buffers they
+    # don't consume.
+    nbest_ids: "jnp.ndarray | None" = None      # [B, N, L]
+    nbest_lengths: "jnp.ndarray | None" = None  # [B, N]
+    nbest_scores: "jnp.ndarray | None" = None   # [B, N]
 
 
 def _length_penalty(lengths: jnp.ndarray, alpha: float) -> jnp.ndarray:
@@ -78,8 +85,15 @@ def beam_search(
     beam_width: int = 10,
     length_penalty: float = 0.0,
     compute_dtype=jnp.bfloat16,
+    n_best: int = 1,
 ) -> BeamResult:
-    """Run width-K beam search over preprocessed attention memories."""
+    """Run width-K beam search over preprocessed attention memories.
+
+    ``n_best > 1`` additionally backtracks the top-N (<= W) leaves and
+    fills the ``nbest_*`` fields (ranked best-first; rank 0 equals the
+    top-1 fields).  The reference's BeamSearchDecoder returns only the
+    winner; n-best is a beyond-parity surface for rescoring/analysis.
+    """
     B = memories[0].values.shape[0]
     W = beam_width
     memory_dims = [m.values.shape[-1] for m in memories]
@@ -192,32 +206,42 @@ def beam_search(
     eff = jnp.where(
         jnp.logical_or(finished_f, ~any_finished), final_scores, NEG_INF
     )
-    best_beam = jnp.argmax(eff, axis=1).astype(jnp.int32)  # [B]
-    best_score = jnp.take_along_axis(eff, best_beam[:, None], axis=1)[:, 0]
-    best_len = jnp.take_along_axis(lens_f, best_beam[:, None], axis=1)[:, 0]
+    n = min(max(n_best, 1), W)
+    if n == 1:
+        leaves = jnp.argmax(eff, axis=1).astype(jnp.int32)[:, None]  # [B, 1]
+    else:
+        # stable argsort: ties resolve to the lowest beam index, exactly
+        # like the argmax above, so rank 0 always equals the top-1 path
+        leaves = jnp.argsort(-eff, axis=1)[:, :n].astype(jnp.int32)
+    sel_score = jnp.take_along_axis(eff, leaves, axis=1)       # [B, n]
+    sel_len = jnp.take_along_axis(lens_f, leaves, axis=1)      # [B, n]
 
-    # gather_tree: backtrack the (token, parent) trellis from the best leaf.
-    def back(beam, inp):
+    # gather_tree: backtrack the (token, parent) trellis from each leaf.
+    def back(beams, inp):
         tok_l, par_l = inp  # [B, W] each
-        t = jnp.take_along_axis(tok_l, beam[:, None], axis=1)[:, 0]
-        prev = jnp.take_along_axis(par_l, beam[:, None], axis=1)[:, 0]
+        t = jnp.take_along_axis(tok_l, beams, axis=1)    # [B, n]
+        prev = jnp.take_along_axis(par_l, beams, axis=1)
         return prev, t
 
     _, ids_rev = jax.lax.scan(
-        back, best_beam, (tokens_t, parents_t), reverse=True
+        back, leaves, (tokens_t, parents_t), reverse=True
     )
-    # reverse=True emits ys in forward-time order already.
-    ids = ids_rev.T  # [B, L]
+    # reverse=True emits ys in forward-time order already: [L, B, n]
+    ids = jnp.transpose(ids_rev, (1, 2, 0))  # [B, n, L]
 
     # PAD everything after the first EOS (finished beams kept feeding EOS).
-    L = ids.shape[1]
-    pos = jnp.arange(L)[None, :]
+    L = ids.shape[-1]
+    pos = jnp.arange(L)[None, None, :]
     is_eos = ids == EOS_ID
-    any_eos = jnp.any(is_eos, axis=1, keepdims=True)
-    first_eos = jnp.argmax(is_eos, axis=1, keepdims=True)
+    any_eos = jnp.any(is_eos, axis=-1, keepdims=True)
+    first_eos = jnp.argmax(is_eos, axis=-1, keepdims=True)
     cut = jnp.where(any_eos, first_eos, L - 1)
     ids = jnp.where(pos > cut, PAD_ID, ids)
 
     return BeamResult(
-        ids=ids, lengths=best_len, scores=best_score, steps=steps_f
+        ids=ids[:, 0], lengths=sel_len[:, 0], scores=sel_score[:, 0],
+        steps=steps_f,
+        nbest_ids=ids if n_best > 1 else None,
+        nbest_lengths=sel_len if n_best > 1 else None,
+        nbest_scores=sel_score if n_best > 1 else None,
     )

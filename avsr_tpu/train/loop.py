@@ -606,10 +606,10 @@ class Trainer:
         self._decode_cache[cache_key] = fn
         return fn
 
-    def _make_decode_fn(self, use_beam: bool):
+    def _make_decode_fn(self, use_beam: bool, n_best: int = 1):
         cfg = self.cfg
         noise_bank = self.noise_bank
-        cache_key = (use_beam, cfg)
+        cache_key = (use_beam, n_best, cfg)
         cached = self._decode_cache.get(cache_key)
         if cached is not None:
             return cached
@@ -625,7 +625,10 @@ class Trainer:
                     beam_width=cfg.decode.beam_width,
                     length_penalty=cfg.decode.length_penalty,
                     compute_dtype=seq2seq.compute_dtype_of(cfg),
+                    n_best=n_best,
                 )
+                if n_best > 1:
+                    return res.nbest_ids, res.nbest_scores
                 return res.ids
             ids, _ = greedy_decode(
                 params["decoder"], cfg.decoder, out.memories,

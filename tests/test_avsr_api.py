@@ -81,6 +81,30 @@ def test_predict_api(tmp_path, data):
         assert isinstance(hyp, str)
 
 
+def test_predict_n_best(tmp_path, data):
+    """predict(n_best=N): ranked (hypothesis, score) alternatives; rank 0
+    equals the top-1 beam hypothesis and scores are non-increasing."""
+    avsr = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "rnb"),
+        train_utterances=data, eval_utterances=data,
+    )
+    avsr.train(num_epochs=1)
+    top1 = dict(avsr.predict(data[:3], use_beam=True))
+    out = avsr.predict(data[:3], use_beam=True, n_best=3)
+    assert len(out) == 3
+    for uid, alts in out:
+        assert len(alts) == 3
+        assert alts[0][0] == top1[uid]
+        scores = [s for _, s in alts]
+        assert scores == sorted(scores, reverse=True)
+        assert all(isinstance(h, str) for h, _ in alts)
+    with pytest.raises(ValueError, match="use_beam"):
+        avsr.predict(data[:3], use_beam=False, n_best=2)
+
+
 def test_evaluate_bogus_checkpoint_fails_loudly(tmp_path, data):
     """A wrong/unresolvable checkpoint path must raise, not silently
     evaluate the latest (or initial) model."""

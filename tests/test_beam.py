@@ -191,3 +191,42 @@ def test_beam_equals_exhaustive_with_value_projection():
         np.testing.assert_allclose(
             float(res.scores[b]), best_score, rtol=1e-5, atol=1e-5
         )
+
+
+def test_nbest_matches_exhaustive_ranking():
+    """n_best returns the exhaustive top-N finished sequences in score
+    order, and rank 0 equals the top-1 fields."""
+    params, mem, B = build()
+    N = 4
+    res = beam_search(
+        params, CFG, [mem], MAXLEN, beam_width=16, length_penalty=0.0,
+        compute_dtype=jnp.float32, n_best=N,
+    )
+    assert res.nbest_ids.shape[1] == N
+    np.testing.assert_array_equal(
+        np.asarray(res.nbest_ids[:, 0]), np.asarray(res.ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.nbest_scores[:, 0]), np.asarray(res.scores)
+    )
+    for b in range(B):
+        # exhaustive ranking over all FINISHED candidates
+        cands = []
+        for L in range(1, MAXLEN + 1):
+            for body in itertools.product([3, 4], repeat=L - 1):
+                seq = list(body) + [EOS_ID]
+                cands.append((score_sequence(params, mem, b, seq), seq))
+        cands.sort(key=lambda x: -x[0])
+        for r in range(N):
+            got = [int(x) for x in np.asarray(res.nbest_ids[b, r])
+                   if x != PAD_ID]
+            want_score, want_seq = cands[r]
+            assert got == want_seq, (
+                f"row {b} rank {r}: {got} != exhaustive {want_seq}"
+            )
+            np.testing.assert_allclose(
+                float(res.nbest_scores[b, r]), want_score, rtol=1e-4
+            )
+        # scores are non-increasing
+        s = np.asarray(res.nbest_scores[b])
+        assert np.all(np.diff(s) <= 1e-6)

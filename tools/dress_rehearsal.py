@@ -17,7 +17,11 @@ SURVEY.md §3.1-3.3 call stacks), all through the CLI:
   5. ``evaluate --matrix``: per-(noise type x SNR) condition files;
   6. ``decode``: beam decode artifacts;
   7. ``export``: AOT serving artifact, then a standalone Predictor
-     transcribes from the artifact alone (deployment path).
+     transcribes from the artifact alone (deployment path);
+  8. HTTP serving host: POST /v1/transcribe against a dynamic-batching
+     server on the artifact must reproduce the Predictor's hypothesis
+     (also re-exercises batch-size padding invariance: B=1 request vs
+     the B=2 direct call).
 
 Runs on CPU (JAX_PLATFORMS=cpu) so it validates the workflow, not device
 perf.  Usage:
@@ -280,6 +284,31 @@ def main() -> int:
     checks["export_serve_ok"] = (
         len(hyps) == 2 and all(isinstance(h, str) for h in hyps)
     )
+
+    # ---- 8. HTTP serving host (dynamic batching) --------------------------
+    import urllib.request
+
+    from avsr_tpu.serve_host import make_server
+
+    server, batcher = make_server(art, port=0, max_wait_ms=100.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(
+            {"audio": [utts[0].waveform.tolist()],
+             "video": [utts[0].video.tolist()]}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/transcribe", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            resp = json.loads(r.read())
+        checks["http_serve_ok"] = (
+            r.status == 200 and resp["texts"] == hyps[:1]
+        )
+    finally:
+        server.shutdown()
+        batcher.close()
 
     checks["wall_minutes"] = round((time.time() - t_all) / 60, 1)
     ok = all(v is True for k, v in checks.items()
