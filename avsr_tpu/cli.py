@@ -175,6 +175,22 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_average_checkpoints(args) -> int:
+    """Average the last-N checkpoints' parameters into a new checkpoint
+    step (standard seq2seq-ASR eval trick: smooths SGD noise, typically
+    improves CER/WER at zero inference cost)."""
+    avsr = _build_avsr(args)
+    steps = (
+        [int(s) for s in args.steps.split(",")] if args.steps else None
+    )
+    new_step = avsr.trainer.average_checkpoints(steps=steps, last_n=args.last)
+    print(json.dumps({
+        "averaged_step": new_step,
+        "run_dir": avsr.trainer.run_dir,
+    }))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serve an exported artifact over HTTP with dynamic request batching
     (avsr_tpu/serve_host.py): concurrent requests arriving within
@@ -355,6 +371,16 @@ def main(argv=None) -> int:
                         "uint8 ROI video, dequantized on device (2-4x "
                         "fewer host-to-device bytes per request)")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "average-checkpoints",
+        help="average the last-N checkpoints into a new checkpoint step")
+    common(p)
+    p.add_argument("--last", type=int, default=5,
+                   help="how many newest checkpoints to average")
+    p.add_argument("--steps", default=None,
+                   help="explicit comma-separated steps instead of --last")
+    p.set_defaults(fn=cmd_average_checkpoints)
 
     p = sub.add_parser(
         "serve",

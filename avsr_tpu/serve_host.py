@@ -180,6 +180,9 @@ def _decode_utterance(utt) -> np.ndarray:
 
 class _Handler(BaseHTTPRequestHandler):
     batcher: DynamicBatcher = None  # set by make_server
+    # request bodies beyond this are rejected before being read into memory
+    # (a 10 s 16 kHz float JSON utterance is ~2 MB; video ROIs dominate)
+    max_body_bytes: int = 256 * 1024 * 1024
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -205,6 +208,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(404, {"error": "not found"})
         try:
             n = int(self.headers.get("Content-Length", 0))
+            if n > self.max_body_bytes:
+                return self._json(413, {
+                    "error": f"request body {n} bytes exceeds "
+                             f"{self.max_body_bytes}"})
             req = json.loads(self.rfile.read(n))
             audio = req.get("audio")
             video = req.get("video")

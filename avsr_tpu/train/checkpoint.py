@@ -113,5 +113,55 @@ class CheckpointManager:
                 extra = json.load(f)
         return state, extra, step
 
+    def average(
+        self,
+        state_template: TrainState,
+        steps: Optional[list] = None,
+        last_n: int = 5,
+    ) -> Tuple[TrainState, list]:
+        """Uniform parameter averaging over saved checkpoints.
+
+        Standard seq2seq-ASR eval trick: averaging the last-N checkpoints'
+        float parameters smooths SGD noise and typically improves CER/WER
+        at zero inference cost.  Non-float leaves and the optimizer
+        state/step come from the NEWEST averaged checkpoint.  Returns
+        (averaged_state, steps_used).
+        """
+        avail = self.all_steps()
+        if steps is None:
+            steps = avail[-max(last_n, 1):]
+        steps = sorted(int(s) for s in steps)
+        missing = [s for s in steps if s not in avail]
+        if missing or not steps:
+            raise ValueError(
+                f"cannot average: steps {missing or '(none)'} not in "
+                f"{avail} under {self.directory}"
+            )
+
+        def is_float(x):
+            return np.issubdtype(np.asarray(x).dtype, np.floating)
+
+        acc = None
+        newest = None
+        for s in steps:
+            st, _, _ = self.restore(state_template, step=s)
+            newest = st
+            leaves = jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float64) if is_float(x) else x,
+                st.params,
+            )
+            acc = leaves if acc is None else jax.tree_util.tree_map(
+                lambda a, b: a + b if is_float(a) else b, acc, leaves
+            )
+        n = float(len(steps))
+        params = jax.tree_util.tree_map(
+            lambda a, ref: (
+                jax.numpy.asarray((a / n).astype(np.asarray(ref).dtype))
+                if is_float(a) else ref
+            ),
+            acc, newest.params,
+        )
+        return TrainState(params, newest.opt_state, newest.step), steps
+
     def close(self) -> None:
         self._mgr.close()

@@ -181,6 +181,32 @@ class Trainer:
             return max(int(bga[bucket]), 1)
         return max(self.cfg.train.grad_accum_steps, 1)
 
+    def average_checkpoints(
+        self, steps=None, last_n: int = 5, save: bool = True
+    ) -> int:
+        """Average the last-N (or given) checkpoints' parameters, adopt the
+        result as the current state, and (by default) save it as a NEW
+        checkpoint step (newest averaged step + 1) so ``evaluate
+        --checkpoint`` and ``export`` can target it.  Returns that step."""
+        state, used = self.ckpt.average(self.state, steps=steps,
+                                        last_n=last_n)
+        if self._state_shardings is not None:
+            state = jax.device_put(state, self._state_shardings)
+        self.state = state
+        self._host_step = int(used[-1])
+        new_step = used[-1] + 1
+        if save:
+            self.ckpt.save(
+                new_step, self.state,
+                {"epoch": self.epoch, "averaged_from": used},
+            )
+            self._host_step = new_step
+        self.logger.info(
+            f"averaged checkpoints {used}"
+            + (f" -> saved as step {new_step}" if save else "")
+        )
+        return new_step if save else used[-1]
+
     def request_stop(self) -> None:
         """Ask the running train() loop to checkpoint and return after the
         current step (signal-handler safe: only sets a flag)."""

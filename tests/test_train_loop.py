@@ -441,3 +441,44 @@ def test_graceful_stop_checkpoints_and_resumes_bit_exact(tmp_path, data):
     for x, y in zip(jax.tree_util.tree_leaves(p_full),
                     jax.tree_util.tree_leaves(c.trainer.state.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_averaging(tmp_path):
+    """average_checkpoints: the saved averaged step holds the exact mean of
+    the source checkpoints' params and is restorable/evaluable."""
+    import jax
+    import numpy as np
+
+    from avsr_tpu.avsr import AVSR
+    from avsr_tpu.data.synthetic import SyntheticSpec, generate
+
+    data = generate(SyntheticSpec(num_utterances=8, seed=0, alphabet="ab"))
+    av = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "avg"), train_utterances=data,
+        eval_utterances=data,
+    )
+    av.train(num_epochs=3)  # one checkpoint per epoch
+    tr = av.trainer
+    steps = tr.ckpt.all_steps()
+    assert len(steps) >= 3
+    s1, _, _ = tr.ckpt.restore(tr.state, step=steps[-2])
+    s2, _, _ = tr.ckpt.restore(tr.state, step=steps[-1])
+
+    new_step = tr.average_checkpoints(last_n=2)
+    assert new_step == steps[-1] + 1
+    got = jax.tree_util.tree_leaves(tr.state.params)
+    want = jax.tree_util.tree_map(
+        lambda a, b: (np.asarray(a, np.float64) + np.asarray(b)) / 2.0,
+        s1.params, s2.params,
+    )
+    for g, w in zip(got, jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), w.astype(np.float32),
+                                   rtol=0, atol=1e-7)
+    # the averaged step is a first-class checkpoint: restorable + evaluable
+    restored, extra, step = tr.ckpt.restore(tr.state, step=new_step)
+    assert step == new_step and extra.get("averaged_from") == steps[-2:]
+    metrics = av.evaluate(checkpoint=new_step)
+    assert np.isfinite(metrics["loss"])
