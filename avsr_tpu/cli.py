@@ -170,6 +170,7 @@ def cmd_export(args) -> int:
         checkpoint=int(args.checkpoint) if args.checkpoint else None,
         data_parallel=args.data_parallel,
         transfer=args.transfer,
+        n_best=args.n_best,
     )
     print(json.dumps({"artifact": out}))
     return 0
@@ -370,6 +371,9 @@ def main(argv=None) -> int:
                    help="request wire dtypes: compact = int16 PCM audio / "
                         "uint8 ROI video, dequantized on device (2-4x "
                         "fewer host-to-device bytes per request)")
+    p.add_argument("--n-best", type=int, default=1,
+                   help="export ranked top-N hypotheses + scores (beam "
+                        "only); serving still returns top-1 by default")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser(

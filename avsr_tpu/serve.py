@@ -92,8 +92,13 @@ def export_decode(
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
     transfer: str = "float32",
+    n_best: int = 1,
 ):
     """Lower the full decode program to a serializable Exported.
+
+    ``n_best > 1`` (beam only) exports a program returning
+    ``(ids [B, N, L], scores [B, N])`` ranked best-first instead of the
+    top-1 ``ids [B, L]``.
 
     Returns (exported, params_leaves, input_signature).  ``platforms``
     defaults to the current backend; pass ("cpu", "tpu") for a single
@@ -129,8 +134,14 @@ def export_decode(
                 beam_width=cfg.decode.beam_width,
                 length_penalty=cfg.decode.length_penalty,
                 compute_dtype=seq2seq.compute_dtype_of(cfg),
+                n_best=n_best,
             )
+            if n_best > 1:
+                return res.nbest_ids, res.nbest_scores
             return res.ids
+        if n_best > 1:
+            raise ValueError("n_best > 1 requires beam decoding "
+                             "(use_beam=True, decode.beam_width > 1)")
         ids, _ = greedy_decode(
             params["decoder"], cfg.decoder, out.memories,
             cfg.decode.max_decode_length,
@@ -335,8 +346,9 @@ class Predictor:
             self._leaves = [jax.device_put(l) for l in self._leaves]
             self._shardings = ()
 
-    def __call__(self, **arrays) -> np.ndarray:
-        """Raw call: padded full-shape arrays in, hypothesis ids out."""
+    def __call__(self, **arrays):
+        """Raw call: padded full-shape arrays in, hypothesis ids out (or
+        ``(nbest_ids, nbest_scores)`` for an n-best artifact)."""
         args = [arrays[i["name"]] for i in self.meta["inputs"]]
         if self._shardings is None:
             self._place_params()
@@ -344,7 +356,10 @@ class Predictor:
             import jax
 
             args = [jax.device_put(a, self._shardings[1]) for a in args]
-        return np.asarray(self._exported.call(self._leaves, *args))
+        out = self._exported.call(self._leaves, *args)
+        if isinstance(out, (tuple, list)):
+            return tuple(np.asarray(o) for o in out)
+        return np.asarray(out)
 
     def transcribe(
         self,
@@ -366,8 +381,45 @@ class Predictor:
                     n = len(seqs)
                 elif len(seqs) != n:
                     raise ValueError("audio/video request counts differ")
-        ids = self(**arrays)
+        out = self(**arrays)
+        if isinstance(out, tuple):  # n-best artifact: rank 0 is the winner
+            ids = out[0][:, 0]
+        else:
+            ids = out
         return [self.decode_ids(ids[i]) for i in range(n or 0)]
+
+    @property
+    def n_best(self) -> int:
+        return int(self.meta.get("n_best", 1))
+
+    def transcribe_nbest(
+        self,
+        *,
+        audio: Optional[Sequence[np.ndarray]] = None,
+        video: Optional[Sequence[np.ndarray]] = None,
+    ) -> "List[List[Tuple[str, float]]]":
+        """Per utterance: ranked [(hypothesis, score), ...] alternatives.
+        Requires an artifact exported with ``n_best > 1``."""
+        if self.n_best <= 1:
+            raise ValueError(
+                "artifact was exported top-1 only; re-export with "
+                "--n-best N for ranked alternatives"
+            )
+        n = len(audio) if audio is not None else len(video)
+        arrays: Dict[str, np.ndarray] = {}
+        for name, seqs in (("audio", audio), ("video", video)):
+            if name in self._inputs:
+                if seqs is None:
+                    raise ValueError(f"exported program requires {name=}")
+                padded, lengths = self._pad_batch(name, seqs)
+                arrays[name] = padded
+                arrays[f"{name}_lengths"] = lengths
+        ids, scores = self(**arrays)
+        return [
+            [(self.decode_ids(ids[i, r]), float(scores[i, r]))
+             for r in range(ids.shape[1])]
+            for i in range(n)
+        ]
 
 
 class BucketedPredictor:
@@ -404,6 +456,15 @@ class BucketedPredictor:
     def transcribe(self, *, audio=None, video=None) -> List[str]:
         return self._pick(audio, video).transcribe(audio=audio, video=video)
 
+    @property
+    def n_best(self) -> int:
+        return min(p.n_best for p in self.buckets)
+
+    def transcribe_nbest(self, *, audio=None, video=None):
+        return self._pick(audio, video).transcribe_nbest(
+            audio=audio, video=video
+        )
+
 
 def load_predictor(path: str):
     """Load a serving artifact directory: single bucket or bucketed set."""
@@ -430,8 +491,13 @@ def export_serving_artifact(
     checkpoint: Optional[int] = None,
     data_parallel: Optional[int] = None,
     transfer: str = "compact",
+    n_best: int = 1,
 ) -> str:
     """AVSR-level one-call export: restore → lower → serialize.
+
+    ``n_best > 1`` (beam only) exports a ranked-alternatives program:
+    ``Predictor.transcribe`` still returns the top-1 texts, and
+    ``transcribe_nbest`` returns [(hypothesis, score), ...] per utterance.
 
     Restores like predict() (latest checkpoint unless ``checkpoint`` given
     or training happened this session); refuses never-trained states.
@@ -489,6 +555,7 @@ def export_serving_artifact(
             use_beam=use_beam, batch_size=batch_size,
             audio_seconds=seconds, video_seconds=video_seconds,
             platforms=platforms, mesh=mesh, transfer=transfer,
+            n_best=n_best,
         )
         return save_artifact(
             out, exported, leaves, sig, avsr.unit_dict,
@@ -500,6 +567,7 @@ def export_serving_artifact(
                 "checkpoint_step": int(trainer._host_step),
                 "audio_seconds": seconds,
                 "transfer": transfer,
+                "n_best": int(n_best),
             },
         )
 

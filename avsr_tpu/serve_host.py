@@ -22,11 +22,13 @@ Design (TPU serving economics):
 HTTP API (stdlib ThreadingHTTPServer; each connection thread parks in the
 batcher while the worker fills a batch):
 
-    POST /v1/transcribe   {"audio": [utt, ...], "video": [utt, ...]}
+    POST /v1/transcribe   {"audio": [utt, ...], "video": [utt, ...],
+                           "n_best": K?}
         utt = [float, ...] (nested lists for video), or a compact-wire
         object {"b64": <base64>, "dtype": "int16"|"uint8"|"float32",
         "shape": [...]} (int16 PCM -> /32767, uint8 pixels -> /255).
-        -> {"texts": [str, ...]}
+        -> {"texts": [str, ...]} (+ "alternatives": [[(text, score)...]...]
+        when n_best > 1 and the artifact was exported with --n-best)
     GET  /healthz         -> {"ok": true}
     GET  /stats           -> {"requests": N, "batches": M, ...}
 
@@ -47,13 +49,14 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("audio", "video", "event", "text", "error")
+    __slots__ = ("audio", "video", "event", "text", "alts", "error")
 
     def __init__(self, audio, video):
         self.audio = audio
         self.video = video
         self.event = threading.Event()
         self.text: Optional[str] = None
+        self.alts = None  # [(text, score), ...] for n-best artifacts
         self.error: Optional[Exception] = None
 
 
@@ -84,11 +87,13 @@ class DynamicBatcher:
 
     # -- client side -----------------------------------------------------
 
-    def submit_many(self, audio=None, video=None, timeout: float = 120.0
-                    ) -> List[str]:
+    def submit_many(self, audio=None, video=None, timeout: float = 120.0,
+                    return_alternatives: bool = False):
         """Submit N utterances (blocking); each may batch with OTHER
         clients' utterances — a request larger than max_batch just spans
-        several decode calls."""
+        several decode calls.  ``return_alternatives`` additionally returns
+        each utterance's ranked [(text, score), ...] list (n-best
+        artifacts; None per utterance otherwise)."""
         n = len(audio) if audio is not None else len(video)
         pendings = []
         with self._cond:
@@ -111,6 +116,8 @@ class DynamicBatcher:
                 raise TimeoutError("transcription timed out")
             if p.error is not None:
                 raise p.error
+        if return_alternatives:
+            return [p.text for p in pendings], [p.alts for p in pendings]
         return [p.text for p in pendings]
 
     def close(self):
@@ -150,9 +157,15 @@ class DynamicBatcher:
                     kwargs["audio"] = [p.audio for p in batch]
                 if batch[0].video is not None:
                     kwargs["video"] = [p.video for p in batch]
-                texts = self._pred.transcribe(**kwargs)
-                for p, t in zip(batch, texts):
-                    p.text = t
+                if int(getattr(self._pred, "n_best", 1)) > 1:
+                    alts = self._pred.transcribe_nbest(**kwargs)
+                    for p, a in zip(batch, alts):
+                        p.alts = a
+                        p.text = a[0][0]
+                else:
+                    texts = self._pred.transcribe(**kwargs)
+                    for p, t in zip(batch, texts):
+                        p.text = t
             except Exception as e:  # deliver to every waiter, keep serving
                 for p in batch:
                     p.error = e
@@ -226,7 +239,20 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("audio/video utterance counts differ")
         except Exception as e:
             return self._json(400, {"error": f"bad request: {e}"})
+        want_n = int(req.get("n_best", 1) or 1)
         try:
+            if want_n > 1:
+                texts, alts = self.batcher.submit_many(
+                    audio=audio, video=video, return_alternatives=True
+                )
+                if any(a is None for a in alts):
+                    return self._json(400, {
+                        "error": "artifact was exported top-1 only; "
+                                 "re-export with --n-best N"})
+                return self._json(200, {
+                    "texts": texts,
+                    "alternatives": [a[:want_n] for a in alts],
+                })
             texts = self.batcher.submit_many(audio=audio, video=video)
             return self._json(200, {"texts": texts})
         except Exception as e:

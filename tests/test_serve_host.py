@@ -27,7 +27,11 @@ def artifact(tmp_path_factory, data):  # noqa: F811
         avsr, str(tmp / "artifact"), use_beam=False, batch_size=4,
         audio_seconds=0.5,
     )
-    return out, [u.waveform for u in data[:4]]
+    nbest = export_serving_artifact(
+        avsr, str(tmp / "artifact_nbest"), use_beam=True, batch_size=4,
+        audio_seconds=0.5, n_best=3,
+    )
+    return out, [u.waveform for u in data[:4]], nbest
 
 
 def _post(port, payload, path="/v1/transcribe"):
@@ -44,7 +48,7 @@ def _post(port, payload, path="/v1/transcribe"):
 
 
 def test_batcher_coalesces_and_matches_direct(artifact):
-    path, wavs = artifact
+    path, wavs, _ = artifact
     pred = Predictor.load(path)
     want = pred.transcribe(audio=wavs)
 
@@ -71,7 +75,7 @@ def test_batcher_coalesces_and_matches_direct(artifact):
 
 
 def test_batcher_spans_oversize_requests(artifact):
-    path, wavs = artifact
+    path, wavs, _ = artifact
     batcher = DynamicBatcher(Predictor.load(path), max_wait_ms=1.0)
     try:
         # 6 utterances > max_batch 4: spans two decode calls transparently
@@ -84,7 +88,7 @@ def test_batcher_spans_oversize_requests(artifact):
 
 
 def test_batcher_delivers_errors_and_keeps_serving(artifact):
-    path, wavs = artifact
+    path, wavs, _ = artifact
     batcher = DynamicBatcher(Predictor.load(path), max_wait_ms=1.0)
     try:
         with pytest.raises(ValueError):
@@ -97,7 +101,7 @@ def test_batcher_delivers_errors_and_keeps_serving(artifact):
 
 
 def test_http_server_end_to_end(artifact):
-    path, wavs = artifact
+    path, wavs, _ = artifact
     server, batcher = make_server(path, port=0, max_wait_ms=100.0)
     port = server.server_address[1]
     thread = threading.Thread(target=server.serve_forever, daemon=True)
@@ -123,6 +127,49 @@ def test_http_server_end_to_end(artifact):
 
         status, stats = _post_get(port, "/stats")
         assert status == 200 and stats["utterances"] >= 2
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_nbest_artifact_direct_and_http(artifact):
+    """An --n-best artifact: transcribe() still returns top-1 (== rank 0 of
+    transcribe_nbest, scores non-increasing); the HTTP host returns ranked
+    alternatives on request and 400s n_best against a top-1 artifact."""
+    top1_path, wavs, nbest_path = artifact
+    pred = Predictor.load(nbest_path)
+    assert pred.n_best == 3
+    texts = pred.transcribe(audio=wavs)
+    alts = pred.transcribe_nbest(audio=wavs)
+    for t, a in zip(texts, alts):
+        assert len(a) == 3
+        assert a[0][0] == t
+        scores = [s for _, s in a]
+        assert scores == sorted(scores, reverse=True)
+
+    server, batcher = make_server(nbest_path, port=0, max_wait_ms=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, resp = _post(port, {"audio": [wavs[0].tolist()],
+                                    "n_best": 2})
+        assert status == 200
+        assert resp["texts"] == texts[:1]
+        assert len(resp["alternatives"][0]) == 2
+        assert resp["alternatives"][0][0][0] == texts[0]
+    finally:
+        server.shutdown()
+        batcher.close()
+
+    # n_best request against a top-1 artifact fails loudly
+    server, batcher = make_server(top1_path, port=0, max_wait_ms=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, resp = _post(port, {"audio": [wavs[0].tolist()],
+                                    "n_best": 2})
+        assert status == 400 and "n-best" in resp["error"].lower() \
+            or "top-1" in resp["error"]
     finally:
         server.shutdown()
         batcher.close()
