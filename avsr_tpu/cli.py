@@ -264,20 +264,38 @@ def cmd_transcribe(args) -> int:
             f"{len(files)} audio but {len(videos)} video inputs"
         )
 
+    want_n = max(int(getattr(args, "n_best", 1) or 1), 1)
+    if want_n > 1 and int(getattr(pred, "n_best", 1)) < want_n:
+        raise SystemExit(
+            f"--n-best {want_n} but the artifact was exported with "
+            f"n_best={int(getattr(pred, 'n_best', 1))}; re-export with "
+            f"--n-best {want_n}"
+        )
     keys = files if need_audio else videos
-    results: List[str] = []
+    results: list = []
     for lo in range(0, len(keys), B):
         kw = {}
         if need_audio:
             kw["audio"] = [load_audio(p) for p in files[lo:lo + B]]
         if need_video:
             kw["video"] = [load_video(p) for p in videos[lo:lo + B]]
-        results.extend(pred.transcribe(**kw))
+        if want_n > 1:
+            results.extend(pred.transcribe_nbest(**kw))
+        else:
+            results.extend(pred.transcribe(**kw))
 
     out_f = open(args.out, "w") if args.out else None
     try:
-        for name, text in zip(keys, results):
-            line = json.dumps({"file": name, "text": text})
+        for name, r in zip(keys, results):
+            if want_n > 1:
+                line = json.dumps({
+                    "file": name, "text": r[0][0],
+                    "alternatives": [
+                        {"text": t, "score": s} for t, s in r[:want_n]
+                    ],
+                })
+            else:
+                line = json.dumps({"file": name, "text": r})
             print(line)
             if out_f:
                 out_f.write(line + "\n")
@@ -416,6 +434,9 @@ def main(argv=None) -> int:
                         "a video file for cv2 lip-ROI extraction")
     p.add_argument("--out", default=None,
                    help="also write the JSONL transcripts here")
+    p.add_argument("--n-best", type=int, default=1,
+                   help="emit the top-N ranked alternatives with scores "
+                        "(artifact must be exported with --n-best >= N)")
     p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("show-config", help="print the resolved config")
