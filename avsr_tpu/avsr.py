@@ -355,6 +355,11 @@ class AVSR:
         )
         if n_best > 1 and not use_beam:
             raise ValueError("n_best > 1 requires use_beam=True")
+        if n_best > self.config.decode.beam_width:
+            raise ValueError(
+                f"n_best {n_best} exceeds decode.beam_width "
+                f"{self.config.decode.beam_width}"
+            )
         decode_fn = self.trainer._make_decode_fn(use_beam, n_best=n_best)
         out = []
         for _, np_batch in loader.epoch(shuffle=False):

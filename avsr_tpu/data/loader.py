@@ -119,6 +119,12 @@ class BucketingLoader:
                 f"bucket_batch_sizes ({len(bbs)}) must match "
                 f"audio_bucket_boundaries ({len(bounds)})"
             )
+        bga = self.cfg.bucket_grad_accum
+        if bga is not None and len(bga) != len(bounds):
+            raise ValueError(
+                f"bucket_grad_accum ({len(bga)}) must match "
+                f"audio_bucket_boundaries ({len(bounds)})"
+            )
         shapes = {}
         max_label = self.cfg.max_label_length
         for i, b in enumerate(bounds):

@@ -60,6 +60,8 @@ def _pspecs_for_dict(d: dict, num_model: int) -> dict:
                 out[name] = P(MODEL_AXIS)
             else:
                 out[name] = P()
+        elif _is_array(leaf) and leaf.ndim == 0:
+            out[name] = P()  # scalar leaves (e.g. learned temperatures)
     return out
 
 
@@ -77,7 +79,7 @@ def tp_pspecs(params: Any, num_model: int) -> Any:
                 {k: v for k, v in node.items() if _is_array(v)}, num_model
             )
             return {
-                k: (local[k] if _is_array(v) else walk(v))
+                k: (local.get(k, P()) if _is_array(v) else walk(v))
                 for k, v in node.items()
             }
         if isinstance(node, (list, tuple)):

@@ -117,6 +117,12 @@ def export_decode(
     from avsr_tpu.decode.greedy import greedy_decode
     from avsr_tpu.models import seq2seq
 
+    if n_best > cfg.decode.beam_width:
+        raise ValueError(
+            f"n_best {n_best} exceeds decode.beam_width "
+            f"{cfg.decode.beam_width}: the beam cannot rank more leaves "
+            f"than it keeps"
+        )
     sig = _input_signature(cfg, batch_size, audio_seconds, video_seconds,
                            transfer)
     names = [n for n, _, _ in sig]
@@ -361,13 +367,10 @@ class Predictor:
             return tuple(np.asarray(o) for o in out)
         return np.asarray(out)
 
-    def transcribe(
-        self,
-        *,
-        audio: Optional[Sequence[np.ndarray]] = None,
-        video: Optional[Sequence[np.ndarray]] = None,
-    ) -> List[str]:
-        """Variable-length utterances in, transcripts out (pads + decodes)."""
+    def _assemble(self, audio, video):
+        """Validated request assembly shared by transcribe/transcribe_nbest:
+        pads each required modality, rejects missing modalities and
+        mismatched utterance counts.  Returns (arrays, n)."""
         n = None
         arrays: Dict[str, np.ndarray] = {}
         for name, seqs in (("audio", audio), ("video", video)):
@@ -381,12 +384,24 @@ class Predictor:
                     n = len(seqs)
                 elif len(seqs) != n:
                     raise ValueError("audio/video request counts differ")
+        if not n:
+            raise ValueError("empty request: no utterances")
+        return arrays, n
+
+    def transcribe(
+        self,
+        *,
+        audio: Optional[Sequence[np.ndarray]] = None,
+        video: Optional[Sequence[np.ndarray]] = None,
+    ) -> List[str]:
+        """Variable-length utterances in, transcripts out (pads + decodes)."""
+        arrays, n = self._assemble(audio, video)
         out = self(**arrays)
         if isinstance(out, tuple):  # n-best artifact: rank 0 is the winner
             ids = out[0][:, 0]
         else:
             ids = out
-        return [self.decode_ids(ids[i]) for i in range(n or 0)]
+        return [self.decode_ids(ids[i]) for i in range(n)]
 
     @property
     def n_best(self) -> int:
@@ -405,15 +420,7 @@ class Predictor:
                 "artifact was exported top-1 only; re-export with "
                 "--n-best N for ranked alternatives"
             )
-        n = len(audio) if audio is not None else len(video)
-        arrays: Dict[str, np.ndarray] = {}
-        for name, seqs in (("audio", audio), ("video", video)):
-            if name in self._inputs:
-                if seqs is None:
-                    raise ValueError(f"exported program requires {name=}")
-                padded, lengths = self._pad_batch(name, seqs)
-                arrays[name] = padded
-                arrays[f"{name}_lengths"] = lengths
+        arrays, n = self._assemble(audio, video)
         ids, scores = self(**arrays)
         return [
             [(self.decode_ids(ids[i, r]), float(scores[i, r]))

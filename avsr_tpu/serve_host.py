@@ -75,6 +75,14 @@ class DynamicBatcher:
         if cap is None:  # BucketedPredictor: every bucket must fit the group
             cap = min(p.batch_size for p in predictor.buckets)
         self.max_batch = min(max_batch, cap) if max_batch else cap
+        # The artifact's required modalities: validated per request at
+        # submit time, so every queued request has the SAME modality
+        # signature and any coalesced batch is well-formed.
+        meta = predictor.meta
+        if "buckets" in meta:
+            meta = predictor.buckets[0].meta
+        self._required = {i["name"] for i in meta["inputs"]
+                          if i["name"] in ("audio", "video")}
         self._max_wait = max_wait_ms / 1e3
         self._cond = threading.Condition()
         self._queue: deque = deque()
@@ -94,7 +102,16 @@ class DynamicBatcher:
         several decode calls.  ``return_alternatives`` additionally returns
         each utterance's ranked [(text, score), ...] list (n-best
         artifacts; None per utterance otherwise)."""
+        got = {name for name, v in (("audio", audio), ("video", video))
+               if v is not None}
+        if got != self._required:
+            raise ValueError(
+                f"artifact requires modalities {sorted(self._required)}, "
+                f"request carries {sorted(got) or 'none'}"
+            )
         n = len(audio) if audio is not None else len(video)
+        if n == 0:
+            raise ValueError("empty request: no utterances")
         pendings = []
         with self._cond:
             if self._closed:
@@ -113,6 +130,15 @@ class DynamicBatcher:
         deadline = time.monotonic() + timeout
         for p in pendings:
             if not p.event.wait(max(deadline - time.monotonic(), 0.0)):
+                # shed this request's still-queued work so an abandoned
+                # client doesn't keep consuming decode batches (in-flight
+                # entries finish wastefully once, then are dropped)
+                with self._cond:
+                    for q in pendings:
+                        try:
+                            self._queue.remove(q)
+                        except ValueError:
+                            pass
                 raise TimeoutError("transcription timed out")
             if p.error is not None:
                 raise p.error
@@ -237,9 +263,9 @@ class _Handler(BaseHTTPRequestHandler):
             if audio is not None and video is not None \
                     and len(audio) != len(video):
                 raise ValueError("audio/video utterance counts differ")
+            want_n = int(req.get("n_best", 1) or 1)
         except Exception as e:
             return self._json(400, {"error": f"bad request: {e}"})
-        want_n = int(req.get("n_best", 1) or 1)
         try:
             if want_n > 1:
                 texts, alts = self.batcher.submit_many(
@@ -255,6 +281,10 @@ class _Handler(BaseHTTPRequestHandler):
                 })
             texts = self.batcher.submit_many(audio=audio, video=video)
             return self._json(200, {"texts": texts})
+        except ValueError as e:
+            # client-input errors surfaced by the batcher/Predictor
+            # (modality mismatch, quantize range, horizon/batch overrun)
+            return self._json(400, {"error": str(e)})
         except Exception as e:
             return self._json(500, {"error": str(e)})
 

@@ -194,7 +194,10 @@ class Trainer:
             state = jax.device_put(state, self._state_shardings)
         self.state = state
         self._host_step = int(used[-1])
-        new_step = used[-1] + 1
+        # Past the NEWEST checkpoint on disk, not just the newest averaged
+        # one: averaging older steps must never clobber (or silently skip
+        # over) a real later checkpoint.
+        new_step = max(self.ckpt.all_steps()) + 1
         if save:
             self.ckpt.save(
                 new_step, self.state,

@@ -123,3 +123,45 @@ def test_bad_accum_fails_loudly(tmp_path):
     with pytest.raises(ValueError, match="divide"):
         AVSR(config=cfg, run_dir=str(tmp_path / "bad"),
              train_utterances=data, eval_utterances=data)
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 8, reason="needs 8 devices"
+)
+def test_accum_composes_with_tensor_parallelism(rng):
+    """accum=2 on a (4 data x 2 model) TP mesh still matches the plain
+    single-device full-batch step — the two features compose."""
+    from avsr_tpu.parallel import tp
+    from avsr_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg = _no_stochastic(tiny_config("audio"))
+    B = 8
+    batch = tiny_batch("audio", rng, B=B)
+    batch = batch._replace(
+        audio_lengths=jnp.full((B,), batch.audio.shape[1], jnp.int32),
+        target_lengths=jnp.asarray([2, 5, 3, 6, 1, 4, 6, 2], np.int32),
+    )
+    state1, tx1 = step_lib.create_train_state(jax.random.PRNGKey(0), cfg, VOCAB)
+    new1, m1 = step_lib.make_jitted_train_step(cfg, tx1)(
+        state1, batch, jax.random.PRNGKey(7)
+    )
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    state2, tx2 = step_lib.create_train_state(jax.random.PRNGKey(0), cfg, VOCAB)
+    state2 = tp.shard_train_state(mesh, state2, tx2)
+    sh = tp.train_state_shardings(mesh, state2, tx2)
+    step2 = step_lib.make_jitted_train_step(
+        cfg, tx2, mesh=mesh, state_shardings=sh, accum=2
+    )
+    new2, m2 = step2(state2, shard_batch(mesh, batch), jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(
+        float(m1["ce_loss"]), float(m2["ce_loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new1.params),
+        jax.tree_util.tree_leaves(new2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-5
+        )

@@ -168,8 +168,31 @@ def test_nbest_artifact_direct_and_http(artifact):
     try:
         status, resp = _post(port, {"audio": [wavs[0].tolist()],
                                     "n_best": 2})
-        assert status == 400 and "n-best" in resp["error"].lower() \
-            or "top-1" in resp["error"]
+        assert status == 400
+        assert "top-1" in resp["error"] or "n-best" in resp["error"].lower()
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_http_client_errors_are_400(artifact):
+    """Client-input faults (bad n_best, wrong modality, out-of-range
+    audio) answer 400, not 500 or a dropped connection."""
+    path, wavs, _ = artifact
+    server, batcher = make_server(path, port=0, max_wait_ms=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, resp = _post(port, {"audio": [wavs[0].tolist()],
+                                    "n_best": "two"})
+        assert status == 400 and "error" in resp
+        status, resp = _post(port, {"video": [[0.0] * 8]})  # audio artifact
+        assert status == 400 and "modalit" in resp["error"]
+        status, resp = _post(port, {"audio": [[2.5] * 800]})  # out of range
+        assert status == 400 and "error" in resp
+        # the worker still serves valid requests afterwards
+        status, resp = _post(port, {"audio": [wavs[0].tolist()]})
+        assert status == 200
     finally:
         server.shutdown()
         batcher.close()

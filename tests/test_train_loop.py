@@ -482,3 +482,8 @@ def test_checkpoint_averaging(tmp_path):
     assert step == new_step and extra.get("averaged_from") == steps[-2:]
     metrics = av.evaluate(checkpoint=new_step)
     assert np.isfinite(metrics["loss"])
+    # averaging OLDER steps must not collide with newer checkpoints on
+    # disk: the new step always lands past the newest one
+    newer = tr.average_checkpoints(steps=steps[:2])
+    assert newer == new_step + 1
+    assert new_step in tr.ckpt.all_steps()  # previous average untouched
