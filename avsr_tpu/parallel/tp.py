@@ -102,10 +102,6 @@ def tp_shardings(mesh: Mesh, params: Any) -> Any:
     )
 
 
-def shard_params(mesh: Mesh, params: Any) -> Any:
-    return jax.device_put(params, tp_shardings(mesh, params))
-
-
 def opt_state_shardings(mesh: Mesh, tx, opt_state, params: Any) -> Any:
     """Sharding tree for an optax state: param-shaped slots (Adam mu/nu)
     follow the parameter shardings; scalars/counters replicate."""

@@ -115,6 +115,12 @@ class Trainer:
         self.state, self.tx = step_lib.create_train_state(
             rng, cfg, unit_dict.vocab_size, steps_per_epoch
         )
+        from avsr_tpu.utils.params import param_count
+
+        self.logger.info(
+            f"model: {param_count(self.state.params):,} params "
+            f"({cfg.architecture}, vocab {unit_dict.vocab_size})"
+        )
         # Tensor parallelism (beyond-parity scale-out, parallel/tp.py):
         # when the mesh has a model axis, shard params + Adam slots over it
         # and pin the step's output state to the same shards.

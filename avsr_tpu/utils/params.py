@@ -53,10 +53,3 @@ def zeros_init(_key, shape, dtype=jnp.float32):
 
 def param_count(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
-
-
-def tree_cast(params: Params, dtype) -> Params:
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        params,
-    )
