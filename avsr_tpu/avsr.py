@@ -72,6 +72,7 @@ class AVSR:
         max_gradient_norm: float = 1.0,
         dropout_probability: float = 0.1,
         sampling_probability: float = 0.0,
+        sampling_ramp_steps: int = 0,
         beam_width: int = 10,
         max_label_length: int = 150,
         noise_snr_db: Optional[Sequence[float]] = None,
@@ -115,6 +116,7 @@ class AVSR:
                     attention_type=attention_type,
                     dropout_rate=dropout_probability,
                     sampling_probability=sampling_probability,
+                    sampling_ramp_steps=sampling_ramp_steps,
                     max_label_length=max_label_length,
                 ),
                 noise=NoiseConfig(

@@ -164,6 +164,13 @@ class DecoderConfig:
     # sampled prediction instead of the gold token at each step (0 = pure
     # teacher forcing, 1 = free running).
     sampling_probability: float = 0.0
+    # Linear ramp of the sampling probability from 0 to
+    # ``sampling_probability`` over this many optimizer steps (the classic
+    # scheduled-sampling curriculum).  0 = constant probability.  The ramp
+    # is computed ON DEVICE from the train state's step counter, so one
+    # compiled program serves the whole schedule — no per-epoch recompiles
+    # (same pattern as the runtime-SNR eval programs).
+    sampling_ramp_steps: int = 0
     # Maximum label length (static decode horizon).  The bimodal decoder
     # (upstream:avsr/decoder_bimodal.py, §2.2 row 6) needs no knob here:
     # architecture="bimodal" hands the decoder two attention memories and it

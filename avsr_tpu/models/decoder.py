@@ -22,7 +22,7 @@ scheduled sampling is folded through the scan carry.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -153,7 +153,7 @@ def teacher_forced_logits(
     target_lengths: jnp.ndarray,
     memories: Sequence[attn.AttentionMemory],
     *,
-    sampling_probability: float = 0.0,
+    sampling_probability: Union[float, jax.Array] = 0.0,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
     dropout: bool = False,
@@ -165,6 +165,10 @@ def teacher_forced_logits(
         with PAD.  Step k consumes token k-1 (GO at k=0) and predicts
         targets[:, k].
       sampling_probability: scheduled sampling p (0 = pure teacher forcing).
+        May be a traced scalar so a ramp schedule (DecoderConfig.
+        sampling_ramp_steps) varies p inside ONE compiled program; a traced
+        p of exactly 0 reproduces teacher-forced logits (bernoulli(0) never
+        fires, so gold tokens flow).
 
     Returns logits [B, K, V] fp32.
     """
@@ -174,7 +178,12 @@ def teacher_forced_logits(
     go = jnp.full((B,), GO_ID, jnp.int32)
     # Inputs at step k are targets[:, k-1] (teacher forcing), GO at k=0.
     shifted = jnp.concatenate([go[:, None], targets[:, :-1]], axis=1)  # [B, K]
-    use_sampling = sampling_probability > 0.0 and rng is not None
+    # A traced p keeps the sampling machinery in the program (its runtime
+    # value decides per-step coins); a static float gates it out entirely.
+    use_sampling = rng is not None and (
+        isinstance(sampling_probability, jax.Array)
+        or sampling_probability > 0.0
+    )
     train_dropout = (
         cfg.dropout_rate > 0.0 and rng is not None and dropout
     )

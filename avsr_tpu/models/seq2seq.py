@@ -311,17 +311,30 @@ def forward(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     noise_bank: Optional[jnp.ndarray] = None,
+    sampling_p=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-    """Teacher-forced logits for the batch: [B, K, V]."""
+    """Teacher-forced logits for the batch: [B, K, V].
+
+    ``sampling_p`` overrides the config's scheduled-sampling probability
+    (train mode only); a traced scalar here lets the train step ramp the
+    probability on device without recompiling (DecoderConfig.
+    sampling_ramp_steps).
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     k_enc, k_dec = jax.random.split(rng)
     out = encode(
         params, cfg, batch, train=train, rng=k_enc, noise_bank=noise_bank
     )
+    if not train:
+        p = 0.0
+    elif sampling_p is not None:
+        p = sampling_p
+    else:
+        p = cfg.decoder.sampling_probability
     logits = dec.teacher_forced_logits(
         params["decoder"], cfg.decoder, batch.targets, batch.target_lengths,
         out.memories,
-        sampling_probability=cfg.decoder.sampling_probability if train else 0.0,
+        sampling_probability=p,
         rng=k_dec,
         compute_dtype=compute_dtype_of(cfg),
         dropout=train,
@@ -337,9 +350,11 @@ def loss_fn(
     train: bool = True,
     rng: Optional[jax.Array] = None,
     noise_bank: Optional[jnp.ndarray] = None,
+    sampling_p=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     logits, aux = forward(
-        params, cfg, batch, train=train, rng=rng, noise_bank=noise_bank
+        params, cfg, batch, train=train, rng=rng, noise_bank=noise_bank,
+        sampling_p=sampling_p,
     )
     return _losses(cfg, batch, logits, aux, train=train)
 

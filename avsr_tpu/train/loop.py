@@ -111,6 +111,7 @@ class Trainer:
             self.noise_bank = bank
 
         steps_per_epoch = max(len(train_loader), 1)
+        self._steps_per_epoch = steps_per_epoch
         rng = jax.random.PRNGKey(cfg.train.seed)
         self.state, self.tx = step_lib.create_train_state(
             rng, cfg, unit_dict.vocab_size, steps_per_epoch
@@ -328,9 +329,18 @@ class Trainer:
                     frames += int(np.sum(np_batch["video_lengths"]))
                 if step_i % max(cfg.train.log_every_steps, 1) == 0:
                     loss = float(metrics["loss"])
+                    # lr / sampling-p are host-side schedule mirrors (no
+                    # extra device fetch); the step just executed saw the
+                    # pre-increment counter, hence step_i - 1.
+                    from avsr_tpu.train.optim import host_schedule_value
+
                     self.logger.log(
                         "train", step=step_i, epoch=self.epoch, loss=loss,
                         grad_norm=float(metrics["grad_norm"]), bucket=bucket,
+                        lr=host_schedule_value(
+                            cfg.train, step_i - 1, self._steps_per_epoch
+                        ),
+                        sampling_p=step_lib.host_sampling_p(cfg, step_i - 1),
                     )
                 if (
                     cfg.train.save_every_steps

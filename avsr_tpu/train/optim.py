@@ -8,6 +8,8 @@ reference's set are provided as forward-looking extras.
 
 from __future__ import annotations
 
+import math
+
 import optax
 
 from avsr_tpu.configs import TrainConfig
@@ -58,3 +60,36 @@ def build_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1000):
         chain.append(optax.clip_by_global_norm(cfg.max_gradient_norm))
     chain.append(opt)
     return optax.chain(*chain), sched
+
+
+def host_schedule_value(
+    cfg: TrainConfig, step: int, steps_per_epoch: int = 1000
+) -> float:
+    """Pure-Python mirror of ``build_schedule`` for LOGGING only.
+
+    The optimizer consumes the optax schedule on device; this never feeds
+    training math.  Evaluating the optax schedule host-side would run a
+    tiny program on the default device — a needless relay round-trip per
+    log step on a remote-attached TPU — so the formulas are mirrored in
+    ``math`` (pinned against optax in tests/test_sampling_ramp.py).
+    """
+    base = cfg.learning_rate
+    s = max(int(step), 0)
+    if cfg.lr_schedule == "constant" or (
+        cfg.lr_schedule == "exponential" and cfg.lr_decay == 0.0
+    ):
+        return float(base)
+    if cfg.lr_schedule == "exponential":
+        return float(base * (1.0 - cfg.lr_decay) ** (s // steps_per_epoch))
+    if cfg.lr_schedule == "cosine":
+        total = max(cfg.num_epochs * steps_per_epoch, 1)
+        frac = min(s / total, 1.0)
+        return float(base * 0.5 * (1.0 + math.cos(math.pi * frac)))
+    if cfg.lr_schedule == "warmup_cosine":
+        warm = max(cfg.warmup_steps, 1)
+        total = max(cfg.num_epochs * steps_per_epoch, cfg.warmup_steps + 1)
+        if s < warm:
+            return float(base * s / warm)
+        frac = min((s - warm) / max(total - warm, 1), 1.0)
+        return float(base * 0.5 * (1.0 + math.cos(math.pi * frac)))
+    raise ValueError(f"unknown lr schedule {cfg.lr_schedule}")

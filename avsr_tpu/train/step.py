@@ -41,6 +41,19 @@ def create_train_state(
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
+def host_sampling_p(cfg: ExperimentConfig, step: int) -> float:
+    """Host-side mirror of the on-device scheduled-sampling ramp in
+    ``train_step`` — logging only (the device computes its own p from
+    ``state.step``)."""
+    d = cfg.decoder
+    p = d.sampling_probability
+    if p <= 0.0:
+        return 0.0
+    if d.sampling_ramp_steps <= 0:
+        return float(p)
+    return float(p * min(1.0, max(int(step), 0) / d.sampling_ramp_steps))
+
+
 def train_step(
     state: TrainState,
     batch: Batch,
@@ -65,11 +78,24 @@ def train_step(
     """
     step_rng = jax.random.fold_in(rng, state.step)
 
+    # Scheduled-sampling ramp: p rises linearly from 0 to the configured
+    # probability over sampling_ramp_steps, computed ON DEVICE from the
+    # state's step counter — the schedule lives inside the one compiled
+    # program (no per-epoch recompiles, exact across checkpoint resume
+    # because `step` is checkpointed).
+    sampling_p = None
+    d = cfg.decoder
+    if d.sampling_probability > 0.0 and d.sampling_ramp_steps > 0:
+        frac = jnp.minimum(
+            1.0, state.step.astype(jnp.float32) / float(d.sampling_ramp_steps)
+        )
+        sampling_p = d.sampling_probability * frac
+
     if accum <= 1:
         def lf(params):
             return seq2seq.loss_fn(
                 params, cfg, batch, train=True, rng=step_rng,
-                noise_bank=noise_bank,
+                noise_bank=noise_bank, sampling_p=sampling_p,
             )
 
         (loss, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
@@ -87,7 +113,8 @@ def train_step(
 
         def lf(params, mb, r):
             return seq2seq.loss_fn(
-                params, cfg, mb, train=True, rng=r, noise_bank=noise_bank
+                params, cfg, mb, train=True, rng=r, noise_bank=noise_bank,
+                sampling_p=sampling_p,
             )
 
         grad_fn = jax.value_and_grad(lf, has_aux=True)

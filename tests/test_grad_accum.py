@@ -87,9 +87,13 @@ def test_accum_through_trainer(tmp_path, rng):
         run_dir=str(tmp_path / "m"), train_utterances=data,
         eval_utterances=data,
     )
+    # one factor per bucket boundary (the loader validates the lengths)
+    n_buckets = len(av.config.data.audio_bucket_boundaries)
     cfg = dataclasses.replace(
         av.config,
-        data=dataclasses.replace(av.config.data, bucket_grad_accum=(2,)),
+        data=dataclasses.replace(
+            av.config.data, bucket_grad_accum=(2,) * n_buckets
+        ),
     )
     av2 = AVSR(
         config=cfg, run_dir=str(tmp_path / "acc"), train_utterances=data,
