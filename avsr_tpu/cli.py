@@ -311,6 +311,31 @@ def cmd_show_config(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Error analysis over a predictions file (confusions, distributions,
+    worst utterances) — the post-eval step the reference leaves to ad-hoc
+    user scripts (SURVEY §3.2 scoring is host-side)."""
+    import glob as _glob
+
+    from avsr_tpu.eval.analysis import analyze_file
+
+    path = args.predictions
+    if path is None:
+        if not args.run_dir:
+            raise SystemExit("pass --predictions FILE or --run-dir DIR")
+        cands = sorted(
+            _glob.glob(os.path.join(args.run_dir, "predictions_*.txt")),
+            key=os.path.getmtime,
+        )
+        if not cands:
+            raise SystemExit(f"no predictions_*.txt under {args.run_dir}")
+        path = cands[-1]
+    report = analyze_file(path, top=args.top)
+    report["predictions_file"] = path
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="avsr_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -442,6 +467,18 @@ def main(argv=None) -> int:
     p = sub.add_parser("show-config", help="print the resolved config")
     common(p)
     p.set_defaults(fn=cmd_show_config)
+
+    p = sub.add_parser(
+        "analyze",
+        help="error analysis over a predictions file "
+             "(confusions, CER distribution, worst utterances)")
+    p.add_argument("--predictions", default=None,
+                   help="predictions_*.txt file (default: newest in "
+                        "--run-dir)")
+    p.add_argument("--run-dir", default=None)
+    p.add_argument("--top", type=int, default=10,
+                   help="list length for confusions / worst utterances")
+    p.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)
     # Honor an EXPLICIT platform request: the environment's axon

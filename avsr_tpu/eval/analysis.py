@@ -1,0 +1,181 @@
+"""Error analysis over prediction files: confusions, distributions, worst cases.
+
+The reference's eval workflow ends at per-epoch prediction transcripts and
+CER/WER summary files (upstream:avsr/avsr.py eval path, SURVEY.md §3.2);
+the error ANALYSIS step — which characters confuse, where the errors
+concentrate, which utterances fail — is left to the user's ad-hoc scripts.
+This module makes it a first-class surface: parse a predictions file (or
+take (ref, hyp) pairs), compute Levenshtein ALIGNMENTS (not just
+distances), and aggregate into a report.
+
+Host-side, offline, NumPy-only: analysis runs on prediction files after an
+eval, never in the jitted path.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+# Alignment op codes.
+MATCH, SUB, INS, DEL = "match", "sub", "ins", "del"
+
+
+def parse_predictions(path: str) -> List[Tuple[str, str, str]]:
+    """Parse an ``ErrorRateAccumulator.write_predictions`` file back into
+    (uid, reference, hypothesis) triples."""
+    triples: List[Tuple[str, str, str]] = []
+    uid = ref = None
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("#") or not line.strip() and uid is None:
+                continue
+            m = re.match(r"^(id|ref|hyp): {0,2}(.*)$", line)
+            if not m:
+                continue
+            kind, text = m.group(1), m.group(2)
+            if kind == "id":
+                uid = text
+            elif kind == "ref":
+                ref = text
+            elif kind == "hyp":
+                if uid is None or ref is None:
+                    raise ValueError(f"malformed predictions file {path!r}")
+                triples.append((uid, ref, text))
+                uid = ref = None
+    return triples
+
+
+def align(ref: Sequence, hyp: Sequence) -> List[Tuple[str, object, object]]:
+    """Levenshtein alignment with backtrace.
+
+    Returns ops as (kind, ref_elem|None, hyp_elem|None), kind in
+    {match, sub, ins, del}; the number of non-match ops equals
+    ``metrics.levenshtein(ref, hyp)`` (unit costs).  O(len(ref)*len(hyp))
+    — fine for transcripts; use ``metrics.levenshtein`` (C++ kernel) when
+    only the distance is needed.
+    """
+    n, m = len(ref), len(hyp)
+    # DP table; ties resolved sub > del > ins for a deterministic trace.
+    d = np.zeros((n + 1, m + 1), np.int32)
+    d[:, 0] = np.arange(n + 1)
+    d[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        ri = ref[i - 1]
+        for j in range(1, m + 1):
+            d[i, j] = min(
+                d[i - 1, j - 1] + (ri != hyp[j - 1]),
+                d[i - 1, j] + 1,
+                d[i, j - 1] + 1,
+            )
+    ops: List[Tuple[str, object, object]] = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and d[i, j] == d[i - 1, j - 1] + (
+            ref[i - 1] != hyp[j - 1]
+        ):
+            ops.append(
+                (MATCH if ref[i - 1] == hyp[j - 1] else SUB,
+                 ref[i - 1], hyp[j - 1])
+            )
+            i, j = i - 1, j - 1
+        elif i > 0 and d[i, j] == d[i - 1, j] + 1:
+            ops.append((DEL, ref[i - 1], None))
+            i -= 1
+        else:
+            ops.append((INS, None, hyp[j - 1]))
+            j -= 1
+    ops.reverse()
+    return ops
+
+
+def analyze(
+    pairs: Sequence[Tuple[str, str, str]], top: int = 10
+) -> Dict[str, object]:
+    """Aggregate (uid, ref, hyp) triples into an error report.
+
+    Keys: overall cer/wer; per-utterance CER percentiles + histogram;
+    top substitution pairs / inserted / deleted characters; CER broken
+    down by reference-length quartile; the worst utterances.
+    """
+    subs: Counter = Counter()
+    ins: Counter = Counter()
+    dels: Counter = Counter()
+    per_utt: List[Tuple[float, str, str, str]] = []
+    char_err = char_tot = word_err = word_tot = 0
+    for uid, ref, hyp in pairs:
+        ops = align(list(ref), list(hyp))
+        errs = 0
+        for kind, r, h in ops:
+            if kind == SUB:
+                subs[f"{r}->{h}"] += 1
+                errs += 1
+            elif kind == INS:
+                ins[str(h)] += 1
+                errs += 1
+            elif kind == DEL:
+                dels[str(r)] += 1
+                errs += 1
+        char_err += errs
+        char_tot += len(ref)
+        rw, hw = ref.split(), hyp.split()
+        wops = align(rw, hw)
+        word_err += sum(1 for k, _, _ in wops if k != MATCH)
+        word_tot += len(rw)
+        per_utt.append((errs / max(len(ref), 1), uid, ref, hyp))
+
+    cers = np.asarray([u[0] for u in per_utt], np.float64)
+    edges = [0.0, 0.05, 0.1, 0.2, 0.4, 0.6, 1.0, np.inf]
+    hist, _ = np.histogram(cers, bins=edges) if len(cers) else (
+        np.zeros(len(edges) - 1, np.int64), None)
+
+    # CER by reference-length quartile: where do the errors live?
+    by_len: List[Dict[str, float]] = []
+    if per_utt:
+        lens = np.asarray([len(r) for _, _, r, _ in per_utt])
+        qs = np.quantile(lens, [0.25, 0.5, 0.75]) if len(lens) > 3 else []
+        bounds = [0, *[int(q) for q in qs], int(lens.max()) + 1]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sel = [(e, len(r)) for e, _, r, _ in per_utt
+                   if lo <= len(r) < hi or (hi == bounds[-1] and len(r) == hi - 1)]
+            if not sel:
+                continue
+            e_sum = sum(e * n for e, n in sel)
+            n_sum = sum(n for _, n in sel)
+            by_len.append({
+                "ref_len_range": [lo, hi - 1],
+                "num_utterances": len(sel),
+                "cer": e_sum / max(n_sum, 1),
+            })
+
+    worst = sorted(per_utt, reverse=True)[:top]
+    return {
+        "num_utterances": len(per_utt),
+        "cer": char_err / max(char_tot, 1),
+        "wer": word_err / max(word_tot, 1),
+        "cer_percentiles": {
+            "p50": float(np.percentile(cers, 50)) if len(cers) else 0.0,
+            "p90": float(np.percentile(cers, 90)) if len(cers) else 0.0,
+            "max": float(cers.max()) if len(cers) else 0.0,
+        },
+        "cer_histogram": {
+            f"[{lo:g},{hi:g})": int(c)
+            for lo, hi, c in zip(edges[:-1], edges[1:], hist)
+        },
+        "top_substitutions": subs.most_common(top),
+        "top_insertions": ins.most_common(top),
+        "top_deletions": dels.most_common(top),
+        "cer_by_ref_length": by_len,
+        "worst_utterances": [
+            {"uid": u, "cer": round(e, 4), "ref": r, "hyp": h}
+            for e, u, r, h in worst
+        ],
+    }
+
+
+def analyze_file(path: str, top: int = 10) -> Dict[str, object]:
+    return analyze(parse_predictions(path), top=top)
