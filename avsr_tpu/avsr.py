@@ -270,8 +270,24 @@ class AVSR:
         return self.trainer.evaluate(epoch=epoch, use_beam=use_beam)
 
     def _resolve_checkpoint_step(self, checkpoint) -> int:
-        """checkpoint -> step int; raises on anything unresolvable."""
-        if isinstance(checkpoint, int):
+        """checkpoint -> step int; raises on anything unresolvable.
+
+        ``"best"`` resolves through run_dir/best.json (written whenever an
+        in-train eval improves the CER; that step is pinned against keep-N
+        pruning)."""
+        if isinstance(checkpoint, str) and checkpoint == "best":
+            import json
+
+            path = os.path.join(self.trainer.run_dir, "best.json")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"checkpoint='best' but no best.json under "
+                    f"{self.trainer.run_dir} — it is written when training "
+                    "runs with an eval set"
+                )
+            with open(path) as f:
+                step = int(json.load(f)["step"])
+        elif isinstance(checkpoint, int):
             step = checkpoint
         else:
             ck = os.path.normpath(str(checkpoint))

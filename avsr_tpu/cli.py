@@ -167,7 +167,11 @@ def cmd_export(args) -> int:
         batch_size=args.batch_size,
         audio_seconds=seconds[0] if len(seconds) == 1 else seconds,
         platforms=tuple(args.platforms.split(",")) if args.platforms else None,
-        checkpoint=int(args.checkpoint) if args.checkpoint else None,
+        checkpoint=(
+            # resolves ints, step strings, paths, and "best" (best.json)
+            avsr._resolve_checkpoint_step(args.checkpoint)
+            if args.checkpoint else None
+        ),
         data_parallel=args.data_parallel,
         transfer=args.transfer,
         n_best=args.n_best,

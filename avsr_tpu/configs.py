@@ -303,6 +303,11 @@ class TrainConfig:
     keep_checkpoints: int = 5
     save_every_steps: int = 0  # 0 = per-epoch only
     eval_every_epochs: int = 1
+    # Stop training after this many consecutive in-train evals without a
+    # CER improvement (0 = never).  The best step is tracked in
+    # run_dir/best.json either way and pinned against keep-N pruning;
+    # evaluate/export accept checkpoint="best".
+    early_stop_patience: int = 0
     log_every_steps: int = 50
     seed: int = 42
     # Gradient accumulation (train/step.py): split every batch into this

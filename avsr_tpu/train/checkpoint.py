@@ -26,10 +26,16 @@ class CheckpointManager:
     def __init__(self, directory: str, keep: int = 5):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # Steps in this set survive keep-N pruning (the Trainer pins the
+        # best-eval-CER step so `evaluate(checkpoint="best")` keeps working
+        # after the step ages out of the retention window).
+        self._preserved: set = set()
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, create=True, enable_async_checkpointing=False
+                max_to_keep=keep, create=True,
+                enable_async_checkpointing=False,
+                should_keep_fn=lambda s: s in self._preserved,
             ),
         )
         # Steps written by THIS manager instance.  A same-step collision
@@ -72,6 +78,11 @@ class CheckpointManager:
 
             with open(os.path.join(self.directory, f"extra_{step}.json"), "w") as f:
                 json.dump(extra, f)
+
+    def set_preserved(self, steps) -> None:
+        """Pin steps against keep-N pruning (evaluated at save time)."""
+        self._preserved.clear()
+        self._preserved.update(int(s) for s in steps)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

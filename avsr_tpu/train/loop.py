@@ -159,6 +159,12 @@ class Trainer:
         # (data-iterator state, SURVEY §5.4): train() fast-forwards past them
         # so a mid-epoch resume continues bit-exactly instead of replaying.
         self._resume_batches = 0
+        # Best-eval tracking: lowest in-train eval CER so far, persisted to
+        # run_dir/best.json and pinned against keep-N pruning; feeds
+        # train.early_stop_patience.
+        self._best_cer = float("inf")
+        self._evals_since_best = 0
+        self._load_best_record()
         self._data_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         # jitted decode/eval fns cached per cfg: evaluate() runs every epoch
         # (and once per noise condition) and a fresh jit each call would
@@ -379,7 +385,63 @@ class Trainer:
             )
             if self.eval_loader is not None and self.epoch % evaluate_every == 0:
                 last_metrics = self.evaluate(epoch=self.epoch)
+                if self._update_best(last_metrics):
+                    return last_metrics
         return last_metrics
+
+    def _load_best_record(self) -> None:
+        """Resume best-CER tracking from run_dir/best.json (written by
+        ``_update_best``); re-pins the best step against pruning."""
+        import json
+
+        path = os.path.join(self.run_dir, "best.json")
+        if not os.path.exists(path):
+            return
+        try:
+            with open(path) as f:
+                best = json.load(f)
+            self._best_cer = float(best["cer"])
+            self.ckpt.set_preserved({int(best["step"])})
+        except (ValueError, KeyError, OSError):
+            self.logger.info(f"ignoring unreadable best record {path}")
+
+    def _update_best(self, metrics: Dict[str, float]) -> bool:
+        """Track the best in-train eval CER; returns True when
+        ``train.early_stop_patience`` says to stop.
+
+        The best step is persisted to run_dir/best.json (surfaced as
+        ``checkpoint="best"`` in evaluate/export) and pinned against keep-N
+        pruning, so the best model survives arbitrarily long runs.
+        """
+        cer = metrics.get("cer")
+        if cer is None:
+            return False
+        if cer < self._best_cer:
+            import json
+
+            self._best_cer = float(cer)
+            self._evals_since_best = 0
+            best = {
+                "step": self._host_step, "epoch": self.epoch,
+                "cer": float(cer), "wer": float(metrics.get("wer", -1.0)),
+            }
+            with open(os.path.join(self.run_dir, "best.json"), "w") as f:
+                json.dump(best, f)
+            self.ckpt.set_preserved({self._host_step})
+            self.logger.info(
+                f"new best CER {cer:.4f} at step {self._host_step} "
+                "(best.json; checkpoint pinned)"
+            )
+            return False
+        self._evals_since_best += 1
+        patience = self.cfg.train.early_stop_patience
+        if patience and self._evals_since_best >= patience:
+            self.logger.info(
+                f"early stop: no CER improvement in {self._evals_since_best} "
+                f"evals (best {self._best_cer:.4f})"
+            )
+            return True
+        return False
 
     def warmup(self) -> int:
         """Pre-compile the train step for every bucket shape by running one

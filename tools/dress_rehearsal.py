@@ -15,7 +15,8 @@ SURVEY.md §3.1-3.3 call stacks), all through the CLI:
      resume = uninterrupted training), and peak train RSS stayed bounded
      (streaming corpus never materializes);
   5. ``evaluate --matrix``: per-(noise type x SNR) condition files;
-  6. ``decode``: beam decode artifacts;
+  6. ``decode``: beam decode artifacts; ``analyze``: error-analysis report
+     over the newest predictions file;
   7. ``export``: AOT serving artifact, then a standalone Predictor
      transcribes from the artifact alone (deployment path);
   8. HTTP serving host: POST /v1/transcribe against a dynamic-batching
@@ -268,6 +269,13 @@ def main() -> int:
     )
     run(CLI + ["decode", "--config", cfg_path, "--run-dir", run_b])
     checks["metrics_jsonl"] = os.path.exists(f"{run_b}/metrics.jsonl")
+
+    # ---- 6b. error analysis over the newest predictions file --------------
+    out = run(CLI + ["analyze", "--run-dir", run_b, "--top", "5"])
+    report = json.loads(out.strip().splitlines()[-1])
+    checks["analyze_ok"] = (
+        report["num_utterances"] > 0 and "top_substitutions" in report
+    )
 
     # ---- 7. export -> standalone serving ----------------------------------
     art = f"{work}/artifact"
