@@ -12,6 +12,7 @@ identical to an uninterrupted run (tested in tests/test_train_loop.py).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -20,6 +21,18 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from avsr_tpu.train.step import TrainState
+
+
+class _MuteShouldKeepNotice(logging.Filter):
+    """orbax warns 'should_keep_fn is set, setting keep_period=None' on
+    every manager construction; we never set keep_period, so the notice is
+    pure noise in user logs."""
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        return "should_keep_fn is set" not in record.getMessage()
+
+
+logging.getLogger("absl").addFilter(_MuteShouldKeepNotice())
 
 
 class CheckpointManager:
