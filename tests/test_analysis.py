@@ -15,7 +15,10 @@ from avsr_tpu.eval.analysis import align, analyze, analyze_file, parse_predictio
 from avsr_tpu.eval.metrics import ErrorRateAccumulator, levenshtein
 
 
-def test_align_matches_levenshtein_op_count(rng):
+def test_align_matches_levenshtein_op_count():
+    # local generator: the session rng fixture is a SHARED stream; drawing
+    # from it here would shift every later test's data
+    rng = np.random.default_rng(42)
     alphabet = list("abcd ")
     for _ in range(50):
         ref = "".join(rng.choice(alphabet, size=rng.integers(0, 12)))

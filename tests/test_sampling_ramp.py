@@ -23,7 +23,9 @@ from tests.test_decoder import CFG, V, make_memory
 from tests.test_seq2seq import VOCAB, tiny_batch, tiny_config
 
 
-def test_traced_p_matches_static_p(rng):
+def test_traced_p_matches_static_p():
+    # local generator: keep the shared session rng stream untouched
+    rng = np.random.default_rng(42)
     B, K = 2, 6
     mem = make_memory(rng, B=B)
     params = dec.decoder_init(jax.random.PRNGKey(1), CFG, [7], V)
@@ -68,7 +70,8 @@ def _step_at(cfg, batch, step_value):
     return fn, new_state, metrics
 
 
-def test_ramp_matches_endpoints(rng):
+def test_ramp_matches_endpoints():
+    rng = np.random.default_rng(43)
     batch = tiny_batch("audio", rng, B=2)
     ramp = 4
 
@@ -94,9 +97,10 @@ def test_ramp_matches_endpoints(rng):
         )
 
 
-def test_ramp_is_one_program(rng):
+def test_ramp_is_one_program():
     """Different step values run through the SAME compiled program — the
     schedule is data, not a trace-time constant."""
+    rng = np.random.default_rng(44)
     batch = tiny_batch("audio", rng, B=2)
     cfg = _cfg(0.5, ramp=8)
     state, tx = step_lib.create_train_state(jax.random.PRNGKey(0), cfg, VOCAB)
