@@ -380,10 +380,8 @@ class AVSR:
             )
         decode_fn = self.trainer._make_decode_fn(use_beam, n_best=n_best)
         out = []
-        for _, np_batch in loader.epoch(shuffle=False):
-            res = decode_fn(
-                self.trainer.state.params, to_model_batch(np_batch)
-            )
+
+        def drain(res, np_batch) -> None:
             if n_best > 1:
                 ids, scores = np.asarray(res[0]), np.asarray(res[1])
                 for j in range(np_batch["num_real"]):
@@ -399,6 +397,20 @@ class AVSR:
                     out.append(
                         (np_batch["uids"][j], self.unit_dict.decode(ids[j]))
                     )
+
+        # One-deep dispatch-ahead pipeline (same shape as Trainer.evaluate):
+        # batch i+1's decode program is queued before batch i's ids are
+        # fetched, overlapping device decode with host id->text work.
+        pending = None
+        for _, np_batch in loader.epoch(shuffle=False):
+            res = decode_fn(
+                self.trainer.state.params, to_model_batch(np_batch)
+            )
+            if pending is not None:
+                drain(*pending)
+            pending = (res, np_batch)
+        if pending is not None:
+            drain(*pending)
         return out
 
 

@@ -558,13 +558,13 @@ class Trainer:
             else 0.0,
             jnp.float32,
         )
-        for bucket, np_batch in loader.epoch(shuffle=False):
-            batch = to_model_batch(np_batch)
-            batch = self._place(batch)
-            ids, metrics = eval_fn(self.state.params, batch, eval_snr)
-            ids = np.asarray(ids)
+        def drain(ids_dev, metrics_dev, np_batch) -> None:
+            # np.asarray/float are TRUE host fetches: they block until the
+            # device finishes THIS batch (while the NEXT batch's program is
+            # already queued behind it — see the pipeline note below).
+            ids = np.asarray(ids_dev)
             n_real = np_batch["num_real"]
-            losses.append(float(metrics["loss"]))
+            losses.append(float(metrics_dev["loss"]))
             weights.append(n_real)
             # Score against the UNTRUNCATED reference carried by the loader
             # (np_batch["references"]); the targets tensor is capped at the
@@ -579,6 +579,23 @@ class Trainer:
                     else self.units.decode(np_batch["targets"][j])
                 )
                 acc.update(ref, hyp, np_batch["uids"][j])
+
+        # One-deep dispatch-ahead pipeline: dispatch batch i+1's program
+        # (async in JAX) BEFORE fetching batch i's ids, so the device
+        # decodes batch i+1 while the host scores batch i and the loader
+        # assembles i+2.  Results are identical to the serial loop; only
+        # the device-idle gaps (host Levenshtein + batch assembly + the
+        # ~27 ms relay fetch) disappear from the critical path.
+        pending = None
+        for bucket, np_batch in loader.epoch(shuffle=False):
+            batch = to_model_batch(np_batch)
+            batch = self._place(batch)
+            ids_dev, metrics_dev = eval_fn(self.state.params, batch, eval_snr)
+            if pending is not None:
+                drain(*pending)
+            pending = (ids_dev, metrics_dev, np_batch)
+        if pending is not None:
+            drain(*pending)
         tag = f"epoch{epoch}" if epoch is not None else "final"
         if self.cfg.noise.eval_snr_db is not None:
             if self.noise_bank is not None and self.noise_bank.num_types > 1:
