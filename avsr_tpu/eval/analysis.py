@@ -99,12 +99,16 @@ def analyze(
     """Aggregate (uid, ref, hyp) triples into an error report.
 
     Keys: overall cer/wer; per-utterance CER percentiles + histogram;
-    top substitution pairs / inserted / deleted characters; CER broken
-    down by reference-length quartile; the worst utterances.
+    top substitution pairs / inserted / deleted characters AND words
+    (the word alignment already feeds WER — its confusions are free);
+    CER broken down by reference-length quartile; the worst utterances.
     """
     subs: Counter = Counter()
     ins: Counter = Counter()
     dels: Counter = Counter()
+    wsubs: Counter = Counter()
+    wins: Counter = Counter()
+    wdels: Counter = Counter()
     per_utt: List[Tuple[float, str, str, str]] = []
     char_err = char_tot = word_err = word_tot = 0
     for uid, ref, hyp in pairs:
@@ -123,8 +127,16 @@ def analyze(
         char_err += errs
         char_tot += len(ref)
         rw, hw = ref.split(), hyp.split()
-        wops = align(rw, hw)
-        word_err += sum(1 for k, _, _ in wops if k != MATCH)
+        for kind, r, h in align(rw, hw):
+            if kind == SUB:
+                wsubs[f"{r}->{h}"] += 1
+                word_err += 1
+            elif kind == INS:
+                wins[str(h)] += 1
+                word_err += 1
+            elif kind == DEL:
+                wdels[str(r)] += 1
+                word_err += 1
         word_tot += len(rw)
         per_utt.append((errs / max(len(ref), 1), uid, ref, hyp))
 
@@ -169,6 +181,9 @@ def analyze(
         "top_substitutions": subs.most_common(top),
         "top_insertions": ins.most_common(top),
         "top_deletions": dels.most_common(top),
+        "top_word_substitutions": wsubs.most_common(top),
+        "top_word_insertions": wins.most_common(top),
+        "top_word_deletions": wdels.most_common(top),
         "cer_by_ref_length": by_len,
         "worst_utterances": [
             {"uid": u, "cer": round(e, 4), "ref": r, "hyp": h}

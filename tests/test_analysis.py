@@ -54,6 +54,21 @@ def test_analyze_surfaces_planted_confusions():
     assert sum(rep["cer_histogram"].values()) == 5
 
 
+def test_analyze_surfaces_word_confusions():
+    pairs = [
+        ("u0", "the cat sat", "the bat sat"),    # cat->bat
+        ("u1", "a cat ran", "a bat ran"),        # cat->bat
+        ("u2", "see the dog", "see dog"),        # deleted "the"
+        ("u3", "go home", "go now home"),        # inserted "now"
+    ]
+    rep = analyze(pairs, top=3)
+    assert rep["top_word_substitutions"][0] == ("cat->bat", 2)
+    assert rep["top_word_deletions"][0] == ("the", 1)
+    assert rep["top_word_insertions"][0] == ("now", 1)
+    # WER still equals word-op count / ref words (4 errors / 11 words)
+    assert np.isclose(rep["wer"], 4 / 11)
+
+
 def test_parse_predictions_roundtrip(tmp_path):
     acc = ErrorRateAccumulator()
     acc.update("the cat", "the bat", uid="a")
