@@ -336,6 +336,22 @@ def cmd_analyze(args) -> int:
         path = cands[-1]
     report = analyze_file(path, top=args.top)
     report["predictions_file"] = path
+    if args.bootstrap:
+        from avsr_tpu.eval.analysis import bootstrap_ci, parse_predictions
+
+        report["bootstrap"] = bootstrap_ci(
+            parse_predictions(path), n_resamples=args.bootstrap
+        )
+    if args.compare:
+        from avsr_tpu.eval.analysis import compare, parse_predictions
+
+        report["compare"] = compare(
+            parse_predictions(path),
+            parse_predictions(args.compare),
+            n_resamples=args.bootstrap or 2000,
+            top=args.top,
+        )
+        report["compare"]["b_predictions_file"] = args.compare
     print(json.dumps(report))
     return 0
 
@@ -482,6 +498,13 @@ def main(argv=None) -> int:
     p.add_argument("--run-dir", default=None)
     p.add_argument("--top", type=int, default=10,
                    help="list length for confusions / worst utterances")
+    p.add_argument("--bootstrap", type=int, nargs="?", const=2000,
+                   default=0, metavar="N",
+                   help="bootstrap 95%% confidence intervals on CER/WER "
+                        "(N resamples, default 2000)")
+    p.add_argument("--compare", default=None, metavar="PREDICTIONS_B",
+                   help="second predictions file: paired-bootstrap "
+                        "significance test (A = --predictions, B = this)")
     p.set_defaults(fn=cmd_analyze)
 
     args = ap.parse_args(argv)

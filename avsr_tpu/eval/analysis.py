@@ -20,6 +20,8 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from avsr_tpu.eval.metrics import levenshtein
+
 # Alignment op codes.
 MATCH, SUB, INS, DEL = "match", "sub", "ins", "del"
 
@@ -194,3 +196,143 @@ def analyze(
 
 def analyze_file(path: str, top: int = 10) -> Dict[str, object]:
     return analyze(parse_predictions(path), top=top)
+
+
+def _error_table(
+    pairs: Sequence[Tuple[str, str, str]]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[str]]:
+    """(char_errs, char_lens, word_errs, word_lens, uids) per utterance.
+
+    The corpus CER/WER of any utterance subset is sum(errs)/sum(lens)
+    over that subset — the quantity every bootstrap below resamples.
+    """
+    ce, cl, we, wl, uids = [], [], [], [], []
+    for uid, ref, hyp in pairs:
+        ce.append(levenshtein(list(ref), list(hyp)))
+        cl.append(len(ref))
+        we.append(levenshtein(ref.split(), hyp.split()))
+        wl.append(len(ref.split()))
+        uids.append(uid)
+    return (
+        np.asarray(ce, np.float64), np.asarray(cl, np.float64),
+        np.asarray(we, np.float64), np.asarray(wl, np.float64), uids,
+    )
+
+
+def bootstrap_ci(
+    pairs: Sequence[Tuple[str, str, str]],
+    *,
+    n_resamples: int = 2000,
+    confidence: float = 0.95,
+    seed: int = 0,
+) -> Dict[str, object]:
+    """Percentile-bootstrap confidence intervals for corpus CER and WER.
+
+    Resamples UTTERANCES with replacement (the i.i.d. unit of an eval
+    set) and recomputes the corpus-level ratio sum(errors)/sum(length)
+    per resample — the standard recipe for error-rate uncertainty
+    (Bisani & Ney 2004).  Host-side NumPy; vectorized over resamples.
+    """
+    ce, cl, we, wl, _ = _error_table(pairs)
+    n = len(ce)
+    if n == 0:
+        raise ValueError("bootstrap_ci needs at least one utterance")
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(n_resamples, n))
+    lo_q = (1.0 - confidence) / 2.0
+    out: Dict[str, object] = {
+        "num_utterances": n,
+        "n_resamples": n_resamples,
+        "confidence": confidence,
+    }
+    for name, errs, lens in (("cer", ce, cl), ("wer", we, wl)):
+        stat = errs[idx].sum(axis=1) / np.maximum(lens[idx].sum(axis=1), 1.0)
+        out[name] = {
+            "point": float(errs.sum() / max(lens.sum(), 1.0)),
+            "low": float(np.quantile(stat, lo_q)),
+            "high": float(np.quantile(stat, 1.0 - lo_q)),
+        }
+    return out
+
+
+def compare(
+    pairs_a: Sequence[Tuple[str, str, str]],
+    pairs_b: Sequence[Tuple[str, str, str]],
+    *,
+    n_resamples: int = 2000,
+    seed: int = 0,
+    top: int = 10,
+) -> Dict[str, object]:
+    """Paired bootstrap significance test between two systems' predictions.
+
+    Joins the two prediction sets on uid (references must agree), then
+    resamples utterances with replacement and measures how often system
+    A's corpus CER/WER is at least as high as B's.  ``p_value`` is the
+    two-sided bootstrap p for "the CER/WER difference is zero"; small p
+    + negative delta means A is significantly better.  Also reports the
+    utterances whose error count changed the most in each direction —
+    the qualitative "what did the change fix/break" list.
+    """
+    a = {uid: (ref, hyp) for uid, ref, hyp in pairs_a}
+    b = {uid: (ref, hyp) for uid, ref, hyp in pairs_b}
+    shared = [u for u in a if u in b]
+    if not shared:
+        raise ValueError("no shared uids between the two prediction sets")
+    for u in shared:
+        if a[u][0] != b[u][0]:
+            raise ValueError(
+                f"reference mismatch for uid {u!r}: the two prediction "
+                "files score different eval sets"
+            )
+    joined_a = [(u, a[u][0], a[u][1]) for u in shared]
+    joined_b = [(u, b[u][0], b[u][1]) for u in shared]
+    cea, cla, wea, wla, _ = _error_table(joined_a)
+    ceb, _, web, _, _ = _error_table(joined_b)
+    n = len(shared)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(n_resamples, n))
+    out: Dict[str, object] = {
+        "num_shared_utterances": n,
+        "only_in_a": len(a) - n,
+        "only_in_b": len(b) - n,
+        "n_resamples": n_resamples,
+    }
+    for name, ea, eb, lens in (
+        ("cer", cea, ceb, cla), ("wer", wea, web, wla)
+    ):
+        tot = np.maximum(lens[idx].sum(axis=1), 1.0)
+        sa = ea[idx].sum(axis=1) / tot
+        sb = eb[idx].sum(axis=1) / tot
+        delta = sa - sb
+        point = float((ea.sum() - eb.sum()) / max(lens.sum(), 1.0))
+        # two-sided: twice the smaller tail, using >= / <= so the
+        # identical-systems case (delta identically zero) yields p = 1
+        # rather than 0
+        p = 2.0 * min(
+            float(np.mean(delta >= 0.0)), float(np.mean(delta <= 0.0))
+        )
+        out[name] = {
+            "a": float(ea.sum() / max(lens.sum(), 1.0)),
+            "b": float(eb.sum() / max(lens.sum(), 1.0)),
+            "delta": point,
+            "delta_ci95": [
+                float(np.quantile(delta, 0.025)),
+                float(np.quantile(delta, 0.975)),
+            ],
+            "p_value": min(p, 1.0),
+        }
+    diff = cea - ceb
+    order = np.argsort(diff)
+    def _row(i: int) -> Dict[str, object]:
+        u = shared[i]
+        return {
+            "uid": u, "ref": a[u][0],
+            "hyp_a": a[u][1], "hyp_b": b[u][1],
+            "char_errs_a": int(cea[i]), "char_errs_b": int(ceb[i]),
+        }
+    out["a_wins"] = [_row(i) for i in order[:top] if diff[i] < 0]
+    out["b_wins"] = [_row(i) for i in order[::-1][:top] if diff[i] > 0]
+    out["num_a_better"] = int(np.sum(diff < 0))
+    out["num_b_better"] = int(np.sum(diff > 0))
+    out["num_tied"] = int(np.sum(diff == 0))
+    return out

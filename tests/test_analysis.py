@@ -10,8 +10,16 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
-from avsr_tpu.eval.analysis import align, analyze, analyze_file, parse_predictions
+from avsr_tpu.eval.analysis import (
+    align,
+    analyze,
+    analyze_file,
+    bootstrap_ci,
+    compare,
+    parse_predictions,
+)
 from avsr_tpu.eval.metrics import ErrorRateAccumulator, levenshtein
 
 
@@ -82,6 +90,89 @@ def test_parse_predictions_roundtrip(tmp_path):
     rep = analyze_file(path)
     assert np.isclose(rep["cer"], acc.cer)
     assert np.isclose(rep["wer"], acc.wer)
+
+
+def test_bootstrap_ci_brackets_point_and_degenerates():
+    rng = np.random.default_rng(7)
+    alphabet = list("abcde ")
+    pairs = []
+    for i in range(40):
+        ref = "".join(rng.choice(alphabet, size=rng.integers(4, 20)))
+        # corrupt a few positions
+        hyp = list(ref)
+        for _ in range(rng.integers(0, 3)):
+            if hyp:
+                hyp[rng.integers(0, len(hyp))] = rng.choice(alphabet)
+        pairs.append((f"u{i}", ref, "".join(hyp)))
+    ci = bootstrap_ci(pairs, n_resamples=500, seed=1)
+    for m in ("cer", "wer"):
+        assert ci[m]["low"] <= ci[m]["point"] <= ci[m]["high"]
+        assert ci[m]["high"] - ci[m]["low"] < 0.5
+    # deterministic corpus with zero errors -> CI collapses to 0
+    clean = [(f"c{i}", "hello there", "hello there") for i in range(10)]
+    ci0 = bootstrap_ci(clean, n_resamples=200, seed=2)
+    assert ci0["cer"] == {"point": 0.0, "low": 0.0, "high": 0.0}
+    # seed-deterministic
+    again = bootstrap_ci(pairs, n_resamples=500, seed=1)
+    assert again == ci
+
+
+def test_compare_paired_bootstrap():
+    rng = np.random.default_rng(11)
+    alphabet = list("abcde ")
+    pairs_a, pairs_b = [], []
+    for i in range(60):
+        ref = "".join(rng.choice(alphabet, size=rng.integers(6, 20)))
+        # system A: perfect; system B: one substitution per utterance
+        hyp_b = list(ref)
+        hyp_b[rng.integers(0, len(hyp_b))] = "z"
+        pairs_a.append((f"u{i}", ref, ref))
+        pairs_b.append((f"u{i}", ref, "".join(hyp_b)))
+    rep = compare(pairs_a, pairs_b, n_resamples=500, seed=3)
+    assert rep["num_shared_utterances"] == 60
+    assert rep["cer"]["a"] == 0.0
+    assert rep["cer"]["delta"] < 0
+    assert rep["cer"]["p_value"] < 0.01          # A clearly better
+    assert rep["num_a_better"] == 60
+    assert rep["b_wins"] == []
+    assert len(rep["a_wins"]) == 10
+    # identical systems -> delta 0, p-value not significant
+    same = compare(pairs_a, pairs_a, n_resamples=200, seed=4)
+    assert same["cer"]["delta"] == 0.0
+    assert same["cer"]["p_value"] >= 0.9
+    assert same["num_tied"] == 60
+    # reference mismatch on a shared uid must fail loudly
+    tampered = [(u, r + "x", h) for u, r, h in pairs_b]
+    with pytest.raises(ValueError, match="reference mismatch"):
+        compare(pairs_a, tampered)
+    # disjoint uid sets must fail loudly
+    renamed = [(u + "_r", r, h) for u, r, h in pairs_b]
+    with pytest.raises(ValueError, match="no shared uids"):
+        compare(pairs_a, renamed)
+
+
+def test_cli_analyze_bootstrap_compare(tmp_path):
+    acc_a, acc_b = ErrorRateAccumulator(), ErrorRateAccumulator()
+    for i in range(12):
+        ref = f"utterance number {i}"
+        acc_a.update(ref, ref, uid=f"u{i}")                # perfect
+        acc_b.update(ref, ref.replace("e", "q"), uid=f"u{i}")
+    pa = str(tmp_path / "predictions_a.txt")
+    pb = str(tmp_path / "predictions_b.txt")
+    acc_a.write_predictions(pa)
+    acc_b.write_predictions(pb)
+    out = subprocess.run(
+        [sys.executable, "-m", "avsr_tpu.cli", "analyze",
+         "--predictions", pa, "--compare", pb, "--bootstrap", "300"],
+        capture_output=True, text=True, check=True,
+    )
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["bootstrap"]["cer"]["point"] == 0.0
+    cmp_rep = rep["compare"]
+    assert cmp_rep["cer"]["a"] == 0.0
+    assert cmp_rep["cer"]["b"] > 0.0
+    assert cmp_rep["cer"]["p_value"] < 0.05
+    assert cmp_rep["b_predictions_file"] == pb
 
 
 def test_cli_analyze(tmp_path):
