@@ -108,6 +108,21 @@ def cmd_write_records(args) -> int:
     from avsr_tpu.data.synthetic import Utterance
     import numpy as np
 
+    if args.manifest:
+        if args.synthetic:
+            raise SystemExit("--manifest and --synthetic are exclusive")
+        if not args.out:
+            raise SystemExit("--manifest requires --out")
+        from avsr_tpu.data.ingest import read_manifest, write_corpus
+
+        rows = read_manifest(args.manifest)
+        n = write_corpus(
+            rows, args.out, video_codec=args.video_codec,
+            num_shards=args.shards, roi_size=args.roi_size,
+            log_every=args.log_every,
+        )
+        print(f"wrote {n} utterances from {args.manifest} -> {args.out}")
+        return 0
     if not args.synthetic and args.noise_out:
         # noise-bank-only write (e.g. one file per noise TYPE for a typed
         # babble/cafe bank: run once per type with different seeds)
@@ -147,9 +162,9 @@ def cmd_write_records(args) -> int:
             print(f"wrote noise bank -> {args.noise_out}")
         return 0
     raise SystemExit(
-        "only --synthetic generation is wired in this environment "
-        "(no raw TCD-TIMIT/LRS2 media present); real-media ingestion lives in "
-        "avsr_tpu/data/ingest.py"
+        "pass --synthetic N (generated corpus) or --manifest FILE "
+        "(real media: wav/video/AU/landmark/ROI columns, see "
+        "avsr_tpu/data/ingest.py)"
     )
 
 
@@ -394,6 +409,15 @@ def main(argv=None) -> int:
     p = sub.add_parser("write-records", help="serialize a dataset to TFRecords")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic utterances")
+    p.add_argument("--manifest", default=None,
+                   help="real-media corpus manifest (CSV/TSV, header with "
+                        "'uid' + any of transcript, transcript_file, wav, "
+                        "video, au_csv, landmarks_csv, roi_npy; relative "
+                        "paths resolve against the manifest)")
+    p.add_argument("--roi-size", type=int, default=36,
+                   help="lip-ROI side length for --manifest video extraction")
+    p.add_argument("--log-every", type=int, default=100,
+                   help="progress line every N utterances (--manifest)")
     p.add_argument("--out", default=None,
                    help="corpus output path (required with --synthetic)")
     p.add_argument("--noise-out", default=None)

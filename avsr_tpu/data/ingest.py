@@ -42,7 +42,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from avsr_tpu.data.synthetic import Utterance
-from avsr_tpu.data.tfrecord import write_dataset
+from avsr_tpu.data.tfrecord import TFRecordWriter, utterance_to_bytes
 
 
 # ---------------------------------------------------------------------------
@@ -496,9 +496,12 @@ def write_corpus(
     manifest: List[Dict[str, str]],
     out_path: str,
     video_codec: str = "uint8",
+    num_shards: int = 1,
+    log_every: int = 0,
     **kw,
 ) -> int:
-    """Manifest rows -> TFRecord file.
+    """Manifest rows -> TFRecord file(s), STREAMING (one utterance in
+    memory at a time — a multi-GB corpus writes with bounded RSS).
 
     Row keys: ``uid``, ``transcript``, and optionally ``wav``, ``video``,
     ``au_csv``, ``landmarks_csv`` (OpenFace landmark crops — the
@@ -507,17 +510,94 @@ def write_corpus(
 
     Lip-ROI crops are grayscale in [0, 1], so the default codec quantizes
     them to uint8 (4x smaller records); pass ``video_codec="float32"`` for
-    bit-exact storage.
+    bit-exact storage.  ``num_shards > 1`` splits contiguous manifest
+    chunks into ``{out_path}-{i:05d}-of-{n:05d}`` (the same layout as
+    ``tfrecord.write_dataset``, readable via the shard glob).
     """
-    utts = [
-        build_utterance(
-            row["uid"], row["transcript"],
-            row.get("wav"), row.get("video"), row.get("au_csv"),
-            landmarks_csv_path=row.get("landmarks_csv"),
-            roi_npy_path=row.get("roi_npy"),
-            **kw,
-        )
-        for row in manifest
-    ]
-    write_dataset(utts, out_path, video_codec=video_codec)
-    return len(utts)
+    n = len(manifest)
+    if num_shards <= 1:
+        bounds = [(out_path, 0, n)]
+    else:
+        per = -(-n // num_shards)
+        bounds = [
+            (f"{out_path}-{i:05d}-of-{num_shards:05d}",
+             i * per, min((i + 1) * per, n))
+            for i in range(num_shards)
+        ]
+    written = 0
+    for shard_path, lo, hi in bounds:
+        with TFRecordWriter(shard_path) as w:
+            for row in manifest[lo:hi]:
+                u = build_utterance(
+                    row["uid"], row["transcript"],
+                    row.get("wav"), row.get("video"), row.get("au_csv"),
+                    landmarks_csv_path=row.get("landmarks_csv"),
+                    roi_npy_path=row.get("roi_npy"),
+                    **kw,
+                )
+                w.write(utterance_to_bytes(u, video_codec=video_codec))
+                written += 1
+                if log_every and written % log_every == 0:
+                    print(f"  {written}/{n} utterances written", flush=True)
+    return written
+
+
+# Manifest columns interpreted as filesystem paths (resolved relative to
+# the manifest file's directory) — everything else passes through verbatim.
+_MANIFEST_PATH_COLUMNS = (
+    "wav", "video", "au_csv", "landmarks_csv", "roi_npy", "transcript_file",
+)
+
+
+def read_manifest(path: str) -> List[Dict[str, str]]:
+    """Corpus manifest CSV/TSV -> ``write_corpus`` rows.
+
+    Header row names the columns; ``uid`` is required, plus any of
+    ``transcript``, ``transcript_file`` (read + stripped at parse time —
+    the LRS2-style one-transcript-file-per-clip layout), ``wav``,
+    ``video``, ``au_csv``, ``landmarks_csv``, ``roi_npy``.  Relative
+    paths resolve against the manifest's own directory, so a manifest
+    can live next to its media and move with it.  The delimiter is
+    sniffed from the header (tab if the header contains one, else comma).
+    """
+    base = os.path.dirname(os.path.abspath(path))
+    with open(path, newline="") as f:
+        head = f.readline()
+        if not head.strip():
+            raise ValueError(f"empty manifest {path!r}")
+        delim = "\t" if "\t" in head else ","
+        f.seek(0)
+        reader = csv.DictReader(f, delimiter=delim)
+        if reader.fieldnames is None or "uid" not in reader.fieldnames:
+            raise ValueError(
+                f"manifest {path!r} needs a header row with a 'uid' column "
+                f"(got {reader.fieldnames})"
+            )
+        rows: List[Dict[str, str]] = []
+        for i, raw in enumerate(reader):
+            row = {
+                k.strip(): v.strip()
+                for k, v in raw.items()
+                if k is not None and v is not None and v.strip()
+            }
+            if not row.get("uid"):
+                raise ValueError(f"manifest row {i + 2}: empty uid")
+            for col in _MANIFEST_PATH_COLUMNS:
+                if col in row and not os.path.isabs(row[col]):
+                    row[col] = os.path.join(base, row[col])
+            tf_path = row.pop("transcript_file", None)
+            if tf_path is not None:
+                if "transcript" in row:
+                    raise ValueError(
+                        f"manifest row {i + 2} ({row['uid']}): both "
+                        "'transcript' and 'transcript_file' given"
+                    )
+                with open(tf_path) as tf:
+                    text = tf.read().strip()
+                # LRS2 transcript files lead with "Text:  <words>"
+                if text.lower().startswith("text:"):
+                    text = text[5:].split("\n")[0].strip()
+                row["transcript"] = text
+            row.setdefault("transcript", "")
+            rows.append(row)
+    return rows

@@ -148,6 +148,90 @@ def test_write_corpus_manifest(tmp_path):
     assert got[0].au.shape == (2, 1)
 
 
+def test_write_corpus_sharded_streaming(tmp_path):
+    """num_shards > 1 writes the write_dataset shard layout, readable as
+    one dataset via the shard glob; one utterance in memory at a time."""
+    rows = []
+    for i in range(5):
+        wav_path = str(tmp_path / f"u{i}.wav")
+        write_wav(wav_path, 0.1 * np.sin(np.arange(2000) / (3.0 + i)), 16_000)
+        rows.append({"uid": f"u{i}", "transcript": f"t{i}", "wav": wav_path})
+    out = str(tmp_path / "c.tfrecord")
+    n = ingest.write_corpus(rows, out, num_shards=2)
+    assert n == 5
+    assert not os.path.exists(out)  # sharded: base path is a prefix only
+    shards = sorted(
+        str(p) for p in tmp_path.glob("c.tfrecord-*-of-00002"))
+    assert len(shards) == 2
+    got = [u for s in shards for u in tfrecord.read_dataset(s)]
+    assert [u.uid for u in got] == [f"u{i}" for i in range(5)]
+    assert got[3].waveform.shape == (2000,)
+
+
+def test_read_manifest_csv_paths_and_transcript_files(tmp_path):
+    """read_manifest: relative paths resolve against the manifest dir,
+    transcript_file is read (LRS2 'Text:' prefix stripped), blank cells
+    drop out, and path columns come back absolute."""
+    sub = tmp_path / "corpus"
+    sub.mkdir()
+    (sub / "u1.txt").write_text("Text:  HELLO WORLD\nConf: 4\n")
+    man = sub / "man.csv"
+    man.write_text(
+        "uid,transcript,transcript_file,wav,roi_npy\n"
+        "u0,hi there,,audio/u0.wav,\n"
+        "u1,,u1.txt,/abs/u1.wav,rois/u1.npy\n"
+    )
+    rows = ingest.read_manifest(str(man))
+    assert rows[0]["uid"] == "u0"
+    assert rows[0]["transcript"] == "hi there"
+    assert rows[0]["wav"] == str(sub / "audio" / "u0.wav")
+    assert "roi_npy" not in rows[0]  # blank cell dropped
+    assert rows[1]["transcript"] == "HELLO WORLD"
+    assert rows[1]["wav"] == "/abs/u1.wav"  # absolute passes through
+    assert rows[1]["roi_npy"] == str(sub / "rois" / "u1.npy")
+    assert "transcript_file" not in rows[1]  # consumed at parse time
+
+
+def test_read_manifest_tsv_and_errors(tmp_path):
+    tsv = tmp_path / "man.tsv"
+    tsv.write_text("uid\ttranscript\nu0\thello tab world\n")
+    rows = ingest.read_manifest(str(tsv))
+    assert rows == [{"uid": "u0", "transcript": "hello tab world"}]
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("name,transcript\nu0,x\n")
+    with pytest.raises(ValueError, match="uid"):
+        ingest.read_manifest(str(bad))
+
+    empty_uid = tmp_path / "empty_uid.csv"
+    empty_uid.write_text("uid,transcript\n,x\n")
+    with pytest.raises(ValueError, match="empty uid"):
+        ingest.read_manifest(str(empty_uid))
+
+    both = tmp_path / "both.csv"
+    (tmp_path / "t.txt").write_text("words")
+    both.write_text("uid,transcript,transcript_file\nu0,x,t.txt\n")
+    with pytest.raises(ValueError, match="both"):
+        ingest.read_manifest(str(both))
+
+
+def test_cli_write_records_manifest(tmp_path):
+    """The user path: manifest CSV -> `cli write-records --manifest` ->
+    readable TFRecord corpus."""
+    from avsr_tpu import cli
+
+    wav_path = str(tmp_path / "u0.wav")
+    write_wav(wav_path, 0.2 * np.sin(np.arange(4000) / 5.0), 16_000)
+    man = tmp_path / "man.csv"
+    man.write_text(f"uid,transcript,wav\nu0,good morning,u0.wav\n")
+    out = str(tmp_path / "real.tfrecord")
+    rc = cli.main(["write-records", "--manifest", str(man), "--out", out])
+    assert rc == 0
+    got = tfrecord.read_dataset(out)
+    assert got[0].uid == "u0" and got[0].transcript == "good morning"
+    assert got[0].waveform.shape == (4000,)
+
+
 # ---------------------------------------------------------------------------
 # tracked ROI pipeline (synthetic video with a known moving mouth)
 # ---------------------------------------------------------------------------
