@@ -123,6 +123,14 @@ class EncoderConfig:
     # lax.scan unroll factor (trades compile time/code size for fewer
     # sequential loop iterations on TPU)
     scan_unroll: int = 1
+    # Pyramidal time reduction (Listen-Attend-Spell, arXiv:1508.01211; NOT
+    # in the reference — opt-in extension): one factor per layer, applied
+    # to that layer's INPUT by concatenating r consecutive frames
+    # ([T, B, D] -> [ceil(T/r), B, r*D]).  E.g. (1, 2, 2) quarters the top
+    # layer's step count — and with it every downstream scan over audio
+    # steps (fusion, decoder memory), the measured latency bounds of the
+    # train step (RESULTS.md).  None = no reduction (reference parity).
+    time_reduction: Optional[Tuple[int, ...]] = None
 
 
 @dataclass(frozen=True)

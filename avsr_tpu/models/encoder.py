@@ -5,6 +5,13 @@ TPU-native rebuild of the reference's ``Seq2SeqEncoder``
 stacked LSTM/GRU layers via fused-gate ``lax.scan`` (avsr_tpu/ops/rnn.py),
 optional bidirectionality per layer, per-layer output dropout, optional
 residual connections.  Works on time-major [T, B, D] tensors throughout.
+
+Opt-in extension beyond the reference: pyramidal time reduction
+(``EncoderConfig.time_reduction``, LAS-style, arXiv:1508.01211) folds r
+consecutive frames into the feature dim before a layer, cutting that
+layer's sequential step count — and every downstream consumer of the
+encoder output (fusion scan, decoder attention memory) — by r.  Use
+``encoder_output_lengths`` for the valid-step counts of the output.
 """
 
 from __future__ import annotations
@@ -19,11 +26,54 @@ from avsr_tpu.ops import rnn
 from avsr_tpu.utils.params import Params
 
 
+def time_reductions(cfg: EncoderConfig) -> Tuple[int, ...]:
+    """Per-layer input time-reduction factors, validated (all-1 if unset)."""
+    if cfg.time_reduction is None:
+        return (1,) * len(cfg.hidden_units)
+    r = tuple(int(x) for x in cfg.time_reduction)
+    if len(r) != len(cfg.hidden_units) or any(x < 1 for x in r):
+        raise ValueError(
+            f"time_reduction {cfg.time_reduction} must list one factor >= 1 "
+            f"per layer ({len(cfg.hidden_units)} layers)"
+        )
+    return r
+
+
+def total_time_reduction(cfg: EncoderConfig) -> int:
+    out = 1
+    for r in time_reductions(cfg):
+        out *= r
+    return out
+
+
+def encoder_output_lengths(cfg: EncoderConfig, lengths):
+    """Valid-step counts of the encoder OUTPUT: successive ceil-division of
+    the input lengths by each layer's time-reduction factor."""
+    for r in time_reductions(cfg):
+        if r > 1:
+            lengths = -(-lengths // r)
+    return lengths
+
+
+def _time_reduce(h: jnp.ndarray, r: int) -> jnp.ndarray:
+    """[T, B, D] -> [ceil(T/r), B, r*D]: concat r consecutive frames (LAS
+    pyramid step).  Caller must have zeroed padded steps first so a partly
+    valid last group carries zeros, keeping padding invariance."""
+    T, B, D = h.shape
+    Tp = -(-T // r) * r
+    if Tp != T:
+        h = jnp.pad(h, ((0, Tp - T), (0, 0), (0, 0)))
+    return h.reshape(Tp // r, r, B, D).transpose(0, 2, 1, 3).reshape(
+        Tp // r, B, r * D
+    )
+
+
 def encoder_init(key, cfg: EncoderConfig, input_dim: int, dtype=jnp.float32) -> Params:
     layers = []
     d = input_dim
     keys = jax.random.split(key, len(cfg.hidden_units))
-    for k, h in zip(keys, cfg.hidden_units):
+    for k, h, r in zip(keys, cfg.hidden_units, time_reductions(cfg)):
+        d *= r
         layer = {}
         if cfg.bidirectional:
             kf, kb, kh = jax.random.split(k, 3)
@@ -70,14 +120,27 @@ def encoder_apply(
       lengths: [B] int32 valid step counts.
 
     Returns:
-      (outputs [T, B, H_out] fp32 with zeros at padded steps,
-       final state of the last layer).
+      (outputs [T_out, B, H_out] fp32 with zeros at padded steps — T_out
+       = T reduced by the pyramid factors (== T without time_reduction);
+       valid counts via ``encoder_output_lengths`` —, final state of the
+       last layer).
     """
     T, B, _ = x_tbd.shape
     mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
     h = x_tbd
     final_state = None
+    reductions = time_reductions(cfg)
     for i, layer in enumerate(params["layers"]):
+        if reductions[i] > 1:
+            # Zero padded steps before folding so the (possibly partly
+            # valid) last group carries zeros regardless of pad length,
+            # then fold r frames into the feature dim (LAS pyramid).
+            h = h * mask[:, :, None]
+            h = _time_reduce(h, reductions[i])
+            lengths = -(-lengths // reductions[i])
+            mask = (
+                jnp.arange(h.shape[0])[:, None] < lengths[None, :]
+            ).astype(jnp.float32)
         prev = h
         rd_masks, dropout_rng = _rd_masks(layer, cfg, B, train, dropout_rng)
         h, final_state = _layer_scan(
@@ -165,6 +228,11 @@ def can_pair_encoders(cfg_a: EncoderConfig, cfg_b: EncoderConfig,
         if c.scan_unroll != 1:
             return False
         if train and c.recurrent_dropout_rate > 0.0:
+            return False
+        if total_time_reduction(c) > 1:
+            # paired_encoder_apply computes masks once per stack and never
+            # re-derives lengths between layers, so pyramidal stacks must
+            # take the unpaired path
             return False
     return cfg_a.hidden_units[0] == cfg_b.hidden_units[0]
 

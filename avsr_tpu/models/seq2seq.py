@@ -209,6 +209,9 @@ def encode(
                 freq_mask_width=cfg.audio.freq_mask_width,
             )
         feats_tb = jnp.transpose(feats, (1, 0, 2))  # time-major
+        # Frontend-rate lengths; "audio_feature_lengths" below is the
+        # ENCODER-OUTPUT rate (differs under pyramidal time_reduction).
+        aux["audio_frontend_lengths"] = feat_len
         aux["audio_feature_lengths"] = feat_len
 
     v_tb = v_len = None
@@ -262,10 +265,14 @@ def encode(
 
     if arch in ("audio", "av_align", "bimodal"):
         audio_mem = jnp.transpose(audio_out_tb, (1, 0, 2))
-        audio_mem_len = feat_len
+        # Pyramidal time reduction shrinks the output step count; every
+        # consumer below (fusion scan, decoder memories, AU loss) runs at
+        # the REDUCED rate.
+        audio_mem_len = enc.encoder_output_lengths(cfg.audio_encoder, feat_len)
+        aux["audio_feature_lengths"] = audio_mem_len
     if v_tb is not None:
         video_mem = jnp.transpose(v_out_tb, (1, 0, 2))
-        video_mem_len = v_len
+        video_mem_len = enc.encoder_output_lengths(cfg.video_encoder, v_len)
 
     dec_cfg = cfg.decoder
     if arch == "audio":
@@ -383,6 +390,21 @@ def loss_given_encode(
     return _losses(cfg, batch, logits, enc_out.aux, train=train)
 
 
+def _pool_time(x_tbd: jnp.ndarray, lengths: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Masked mean over groups of ``r`` consecutive time-major frames:
+    [T, B, D] -> [ceil(T/r), B, D].  Frames beyond each example's length
+    are excluded from the group's denominator, so a partly valid last
+    group is the mean of its VALID frames only (padding-invariant)."""
+    T, B, D = x_tbd.shape
+    Tp = -(-T // r) * r
+    if Tp != T:
+        x_tbd = jnp.pad(x_tbd, ((0, Tp - T), (0, 0), (0, 0)))
+    valid = (jnp.arange(Tp)[:, None] < lengths[None, :]).astype(x_tbd.dtype)
+    groups = x_tbd.reshape(Tp // r, r, B, D)
+    v = valid.reshape(Tp // r, r, B, 1)
+    return jnp.sum(groups * v, axis=1) / jnp.maximum(jnp.sum(v, axis=1), 1.0)
+
+
 def _losses(
     cfg: ExperimentConfig,
     batch: Batch,
@@ -404,6 +426,11 @@ def _losses(
         and batch.au_targets is not None
     ):
         au_t = jnp.transpose(batch.au_targets, (1, 0, 2))  # time-major
+        R = enc.total_time_reduction(cfg.audio_encoder)
+        if R > 1:
+            # au_predictions run at the encoder-output (reduced) rate;
+            # pool the frontend-rate targets to match (masked group mean).
+            au_t = _pool_time(au_t, aux["audio_frontend_lengths"], R)
         au_loss = fus.au_regression_loss(
             aux["au_predictions"], au_t, aux["audio_feature_lengths"]
         )

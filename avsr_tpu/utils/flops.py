@@ -29,14 +29,20 @@ def _lstm_flops(batch: int, steps: int, input_dim: int, hidden: int) -> float:
     return 2.0 * batch * steps * 4 * hidden * (input_dim + hidden)
 
 
-def _encoder_flops(cfg_enc, batch: int, steps: int, input_dim: int) -> float:
+def _encoder_flops(cfg_enc, batch: int, steps: int, input_dim: int):
+    """Returns (flops, output_steps) — pyramidal time_reduction folds r
+    frames into the feature dim before a layer, shrinking its step count."""
+    from avsr_tpu.models.encoder import time_reductions
+
     total = 0.0
     d = input_dim
-    for h in cfg_enc.hidden_units:
+    for h, r in zip(cfg_enc.hidden_units, time_reductions(cfg_enc)):
+        steps = -(-steps // r)
+        d *= r
         per_dir = _lstm_flops(batch, steps, d, h)
         total += per_dir * (2 if cfg_enc.bidirectional else 1)
         d = h * (2 if cfg_enc.bidirectional else 1)
-    return total
+    return total, steps
 
 
 def _attention_flops(
@@ -86,10 +92,10 @@ def train_step_flops(
         if a.feature_type == "logmel":
             frontend += 2.0 * batch * T_raw * fft_bins * a.num_mel_bins
         comps["audio_frontend"] = {"fwd": frontend, "factor": 3.0}
-        comps["audio_encoder"] = {
-            "fwd": _encoder_flops(cfg.audio_encoder, batch, T_a, a.output_dim),
-            "factor": 3.0,
-        }
+        enc_flops, T_a = _encoder_flops(
+            cfg.audio_encoder, batch, T_a, a.output_dim
+        )
+        comps["audio_encoder"] = {"fwd": enc_flops, "factor": 3.0}
 
     video_out = 0
     if arch in ("video", "av_align", "bimodal"):
@@ -107,11 +113,10 @@ def train_step_flops(
                 c_in = c_out
             cnn += 2.0 * batch * video_frames * h * w * c_in * v.embedding_dim
         comps["video_cnn"] = {"fwd": cnn, "factor": 3.0}
-        comps["video_encoder"] = {
-            "fwd": _encoder_flops(cfg.video_encoder, batch, video_frames,
-                                  cfg.video.embedding_dim),
-            "factor": 3.0,
-        }
+        venc_flops, video_frames = _encoder_flops(
+            cfg.video_encoder, batch, video_frames, cfg.video.embedding_dim
+        )
+        comps["video_encoder"] = {"fwd": venc_flops, "factor": 3.0}
         video_out = cfg.video_encoder.hidden_units[-1] * (
             2 if cfg.video_encoder.bidirectional else 1
         )
