@@ -231,7 +231,10 @@ class AVSR:
         if logfile:
             from avsr_tpu.utils.logging import MetricsLogger
 
-            self.trainer.logger = MetricsLogger(self.trainer.run_dir, logfile)
+            self.trainer.logger = MetricsLogger(
+                self.trainer.run_dir, logfile,
+                tensorboard=self.trainer.cfg.train.tensorboard,
+            )
         return self.trainer.train(
             num_epochs,
             try_restore_latest_checkpoint=try_restore_latest_checkpoint,

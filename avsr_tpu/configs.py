@@ -334,6 +334,10 @@ class TrainConfig:
     # explicit mesh is passed.
     num_data_shards: int = 1
     num_model_shards: int = 1
+    # Also mirror JSONL metrics into TensorBoard scalar event files under
+    # run_dir/tb (written by avsr_tpu/utils/tensorboard.py — no TF
+    # dependency; point a stock TensorBoard at the run dir).
+    tensorboard: bool = False
 
 
 @dataclass(frozen=True)

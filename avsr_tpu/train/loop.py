@@ -48,7 +48,8 @@ class Trainer:
         self.train_loader = train_loader
         self.eval_loader = eval_loader
         self.run_dir = run_dir or os.path.join("runs", cfg.name)
-        self.logger = MetricsLogger(self.run_dir, logfile)
+        self.logger = MetricsLogger(self.run_dir, logfile,
+                                    tensorboard=cfg.train.tensorboard)
         self.mesh = mesh
         if mesh is not None:
             # batch-axis sharding needs every bucket's batch size to divide

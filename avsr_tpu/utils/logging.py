@@ -17,12 +17,25 @@ from typing import Any, Dict, Optional
 
 
 class MetricsLogger:
-    """JSONL metrics + optional human-readable logfile."""
+    """JSONL metrics + optional human-readable logfile.
 
-    def __init__(self, run_dir: str, logfile: Optional[str] = None):
+    With ``tensorboard=True`` every numeric field is mirrored as a
+    TensorBoard scalar (``{kind}/{field}``, noise conditions inserted as
+    ``eval_noise/{condition}/{field}``) into event files under
+    ``run_dir/tb`` — see avsr_tpu/utils/tensorboard.py (no TF needed).
+    """
+
+    def __init__(self, run_dir: str, logfile: Optional[str] = None,
+                 tensorboard: bool = False):
         os.makedirs(run_dir, exist_ok=True)
         self.run_dir = run_dir
         self._jsonl = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        self._last_step = 0
+        if tensorboard:
+            from avsr_tpu.utils.tensorboard import EventWriter
+
+            self._tb = EventWriter(os.path.join(run_dir, "tb"))
         self._log = logging.getLogger("avsr_tpu")
         if not self._log.handlers:
             h = logging.StreamHandler(sys.stderr)
@@ -43,9 +56,32 @@ class MetricsLogger:
                 rec[k] = v
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
+        if self._tb is not None:
+            self._write_tb(kind, rec)
+
+    def _write_tb(self, kind: str, rec: Dict[str, Any]) -> None:
+        # Event step: explicit step > non-negative epoch > last step seen
+        # (eval_noise and final evals carry no step of their own).
+        if "step" in rec:
+            self._last_step = int(rec["step"])
+        elif rec.get("epoch", -1) >= 0:
+            self._last_step = int(rec["epoch"])
+        prefix = kind
+        if isinstance(rec.get("condition"), str):
+            prefix = f"{kind}/{rec['condition']}"
+        scalars = {
+            f"{prefix}/{k}": float(v)
+            for k, v in rec.items()
+            if k not in ("kind", "time", "step", "condition")
+            and isinstance(v, (int, float))
+        }
+        self._tb.add_scalars(scalars, self._last_step, wall_time=rec["time"])
+        self._tb.flush()
 
     def info(self, msg: str) -> None:
         self._log.info(msg)
 
     def close(self) -> None:
         self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -170,3 +170,30 @@ def test_flops_account_for_reduction():
     assert f_red["fusion"] < 0.5 * f_base["fusion"]
     assert f_red["decoder"] < f_base["decoder"]
     assert f_red["total"] < f_base["total"]
+
+
+def test_overfit_av_align_with_time_reduction(tmp_path):
+    """Quality gate mirroring the value-projection one
+    (tests/test_train_loop.py): a pyramidal AV-Align model (audio rate
+    halved before the top encoder layer) must still overfit the synthetic
+    set to low CER through the fusion scan, decoder attention, and beam
+    decode at the reduced rate."""
+    import dataclasses
+
+    from avsr_tpu.avsr import AVSR
+    from tests.test_train_loop import overfit_config, synth
+
+    data = synth()
+    cfg = overfit_config("av_align", str(tmp_path), epochs=45)
+    cfg = dataclasses.replace(
+        cfg,
+        audio_encoder=EncoderConfig(
+            hidden_units=(48, 48), time_reduction=(1, 2),
+            bidirectional=True, dropout_rate=0.0,
+        ),
+    )
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runtr"),
+                train_utterances=data, eval_utterances=data)
+    avsr.train(num_epochs=cfg.train.num_epochs)
+    summary = avsr.evaluate(use_beam=True)
+    assert summary["cer"] < 0.35, summary
