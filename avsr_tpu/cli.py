@@ -168,6 +168,50 @@ def cmd_write_records(args) -> int:
     )
 
 
+def cmd_build_units(args) -> int:
+    """Discover a unit inventory from corpus transcripts (the inverse of
+    the reference's fixed symbol tables, upstream:avsr/misc/ — users
+    bringing their own corpus build the table FROM the data so encode()
+    drops nothing)."""
+    import json
+
+    from avsr_tpu.data import proto, tfrecord
+    from avsr_tpu.data import units as units_mod
+    from avsr_tpu.data.grain_loader import expand_pattern
+
+    if not args.records and not args.manifest:
+        raise SystemExit("build-units needs --records and/or --manifest")
+
+    def transcripts():
+        if args.records:
+            for path in expand_pattern(args.records):
+                for rec in tfrecord.iter_records(path):
+                    ctx = proto.decode_sequence_example_context(rec)
+                    yield ctx["transcript"][0].decode()
+        if args.manifest:
+            from avsr_tpu.data.ingest import read_manifest
+
+            for row in read_manifest(args.manifest):
+                yield row["transcript"]
+
+    d, counts, dropped = units_mod.from_transcripts(
+        transcripts(), unit_type=args.unit_type, min_count=args.min_count
+    )
+    d.save(args.out)
+    total = sum(counts.values())
+    kept_tokens = sum(c for u, c in counts.items() if u in d.unit_to_idx)
+    print(json.dumps({
+        "out": args.out,
+        "unit_type": args.unit_type,
+        "units": d.vocab_size - 3,  # excluding PAD/GO/EOS
+        "vocab_size": d.vocab_size,
+        "total_tokens": total,
+        "dropped_below_min_count": dropped,
+        "token_coverage_pct": round(100.0 * kept_tokens / max(total, 1), 4),
+    }))
+    return 0
+
+
 def cmd_export(args) -> int:
     """AOT-export the decode program to a standalone serving artifact
     (avsr_tpu/serve.py: StableHLO program + params + meta; no model code
@@ -436,6 +480,23 @@ def main(argv=None) -> int:
                    help="split the corpus into N shard files "
                         "(read back via the glob '<out>-*')")
     p.set_defaults(fn=cmd_write_records)
+
+    p = sub.add_parser(
+        "build-units",
+        help="discover a unit inventory from corpus transcripts",
+    )
+    p.add_argument("--records", default=None,
+                   help="record path / shard glob / comma list to scan")
+    p.add_argument("--manifest", default=None,
+                   help="corpus manifest (CSV/TSV) to scan")
+    p.add_argument("--unit-type", default="character",
+                   help="tokenization: character* = lowercased chars, "
+                        "anything else = whitespace units")
+    p.add_argument("--min-count", type=int, default=1,
+                   help="drop units seen fewer than N times (reported)")
+    p.add_argument("--out", required=True, help="unit file to write "
+                   "(use via data.unit_file + data.unit_type)")
+    p.set_defaults(fn=cmd_build_units)
 
     p = sub.add_parser("export",
                        help="AOT-export the decode program for serving")

@@ -162,14 +162,12 @@ class ConcatSource:
         return out
 
 
-def open_sharded(pattern: str) -> "TFRecordDataSource | ConcatSource":
-    """Open one record file, a glob of shards, or a comma-separated list of
-    either, as a single random-access source.
-
-    ``train-*.tfrecord`` and ``a.tfrecord,b.tfrecord`` both work; glob
-    matches are sorted so the concatenation order (and thus seeded shuffle
-    order) is deterministic.  A pattern with no glob match is treated as a
-    literal path (and fails loudly in the indexer if absent)."""
+def expand_pattern(pattern: str) -> List[str]:
+    """Expand a record pattern — one path, a glob of shards, or a
+    comma-separated list of either — into a deterministic path list (glob
+    matches sorted, so concatenation/shuffle order is seed-stable).  A
+    part with no glob match is kept as a literal path (and fails loudly
+    downstream if absent)."""
     import glob as _glob
 
     paths: List[str] = []
@@ -181,6 +179,14 @@ def open_sharded(pattern: str) -> "TFRecordDataSource | ConcatSource":
         paths.extend(matches if matches else [part])
     if not paths:
         raise ValueError(f"empty record pattern {pattern!r}")
+    return paths
+
+
+def open_sharded(pattern: str) -> "TFRecordDataSource | ConcatSource":
+    """Open one record file, a glob of shards, or a comma-separated list of
+    either (``expand_pattern`` semantics), as a single random-access
+    source."""
+    paths = expand_pattern(pattern)
     if len(paths) == 1:
         return TFRecordDataSource(paths[0])
     return ConcatSource([TFRecordDataSource(p) for p in paths])

@@ -153,3 +153,34 @@ def load_or_builtin(unit_file: Optional[str], unit_type: str) -> UnitDict:
     if unit_file:
         return UnitDict.load(unit_file, unit_type)
     return builtin_unit_dict(unit_type)
+
+
+def from_transcripts(
+    transcripts: Iterable[str],
+    unit_type: str = "character",
+    min_count: int = 1,
+):
+    """Discover a unit inventory from corpus transcripts.
+
+    The reference ships fixed symbol tables; users bringing their own
+    corpus need the inverse — build the table FROM the data so nothing is
+    silently dropped at encode time (dropped reference symbols fake
+    better error rates; see ``UnitDict.encode``).  Tokenization matches
+    ``UnitDict.tokenize`` for the given ``unit_type`` (lowercased
+    characters, or whitespace units).  ``min_count`` drops tail units
+    (typos, stray punctuation) — dropped units are reported, not hidden.
+
+    Returns ``(unit_dict, counts, dropped)`` where ``counts`` maps every
+    observed unit to its corpus frequency and ``dropped`` is the sorted
+    list of units excluded by ``min_count``.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    probe = UnitDict([], unit_type)  # tokenizer for this unit_type
+    counts: dict = {}
+    for t in transcripts:
+        for tok in probe.tokenize(t):
+            counts[tok] = counts.get(tok, 0) + 1
+    kept = sorted(u for u, c in counts.items() if c >= min_count)
+    dropped = sorted(u for u, c in counts.items() if c < min_count)
+    return UnitDict(kept, unit_type), counts, dropped

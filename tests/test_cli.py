@@ -187,3 +187,42 @@ def test_cli_train_export_serve_roundtrip(tmp_path, capsys):
     stdout = [json.loads(l) for l in
               capsys.readouterr().out.strip().splitlines()]
     assert stdout == lines
+
+
+def test_build_units_from_records_and_manifest(tmp_path, capsys):
+    """cli build-units discovers the unit inventory from corpus
+    transcripts (records and/or manifest), writes a unit file usable via
+    data.unit_file, and reports min-count drops instead of hiding them."""
+    from avsr_tpu.data.units import UnitDict, from_transcripts
+
+    out = str(tmp_path / "train.tfrecord")
+    rc = cli.main(["write-records", "--synthetic", "6", "--out", out,
+                   "--seed", "3"])
+    assert rc == 0
+    capsys.readouterr()
+
+    units_path = str(tmp_path / "units.txt")
+    rc = cli.main(["build-units", "--records", out, "--out", units_path])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["vocab_size"] == stats["units"] + 3  # PAD/GO/EOS
+    assert stats["token_coverage_pct"] == 100.0
+
+    d = UnitDict.load(units_path, "character")
+    for u in load_utterances(out):
+        assert d.count_unknown(u.transcript) == 0
+
+    # manifest path + min_count drops (reported, not hidden)
+    man = tmp_path / "corpus.csv"
+    man.write_text("uid,transcript\na,aab\nb,ab\n")
+    rc = cli.main(["build-units", "--manifest", str(man),
+                   "--min-count", "2", "--out", units_path])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["dropped_below_min_count"] == []  # a:3 b:2 both kept
+    d2, counts, dropped = from_transcripts(["aab", "ab"], min_count=3)
+    assert counts == {"a": 3, "b": 2} and dropped == ["b"]
+    assert d2.vocab_size == 4  # specials + "a"
+
+    with pytest.raises(SystemExit):
+        cli.main(["build-units", "--out", units_path])
