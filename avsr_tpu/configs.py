@@ -123,6 +123,16 @@ class EncoderConfig:
     # lax.scan unroll factor (trades compile time/code size for fewer
     # sequential loop iterations on TPU)
     scan_unroll: int = 1
+    # Encoder family: "rnn" (reference parity, the stacked (Bi)LSTM/GRU
+    # above) or "transformer" (opt-in extension, models/transformer.py:
+    # pre-LN self-attention stack — hidden_units must all equal d_model,
+    # depth = len(hidden_units); no sequential scan, MXU-dense).  The
+    # RNN-stack knobs (cell_type, bidirectional, residual, highway,
+    # layer_norm, recurrent_dropout_rate, scan_unroll) apply to "rnn" only.
+    encoder_type: str = "rnn"
+    # Transformer-only knobs.
+    num_heads: int = 4
+    ff_multiplier: int = 4
     # Pyramidal time reduction (Listen-Attend-Spell, arXiv:1508.01211; NOT
     # in the reference — opt-in extension): one factor per layer, applied
     # to that layer's INPUT by concatenating r consecutive frames

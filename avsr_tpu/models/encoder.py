@@ -69,6 +69,12 @@ def _time_reduce(h: jnp.ndarray, r: int) -> jnp.ndarray:
 
 
 def encoder_init(key, cfg: EncoderConfig, input_dim: int, dtype=jnp.float32) -> Params:
+    if cfg.encoder_type == "transformer":
+        from avsr_tpu.models.transformer import transformer_encoder_init
+
+        return transformer_encoder_init(key, cfg, input_dim, dtype)
+    if cfg.encoder_type != "rnn":
+        raise ValueError(f"unknown encoder_type {cfg.encoder_type!r}")
     layers = []
     d = input_dim
     keys = jax.random.split(key, len(cfg.hidden_units))
@@ -100,6 +106,8 @@ def encoder_init(key, cfg: EncoderConfig, input_dim: int, dtype=jnp.float32) -> 
 
 def encoder_output_dim(cfg: EncoderConfig) -> int:
     h = cfg.hidden_units[-1]
+    if cfg.encoder_type == "transformer":
+        return h  # d_model; self-attention is inherently bidirectional
     return 2 * h if cfg.bidirectional else h
 
 
@@ -125,6 +133,13 @@ def encoder_apply(
        valid counts via ``encoder_output_lengths`` —, final state of the
        last layer).
     """
+    if cfg.encoder_type == "transformer":
+        from avsr_tpu.models.transformer import transformer_encoder_apply
+
+        return transformer_encoder_apply(
+            params, cfg, x_tbd, lengths, train=train,
+            dropout_rng=dropout_rng, compute_dtype=compute_dtype,
+        )
     T, B, _ = x_tbd.shape
     mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
     h = x_tbd
@@ -223,6 +238,8 @@ def can_pair_encoders(cfg_a: EncoderConfig, cfg_b: EncoderConfig,
     first-layer hidden sizes.  Recurrent dropout is per-stream state inside
     the scan body and is not supported by the batched core."""
     for c in (cfg_a, cfg_b):
+        if c.encoder_type != "rnn":
+            return False
         if c.cell_type != "lstm" or not c.bidirectional or c.layer_norm:
             return False
         if c.scan_unroll != 1:

@@ -36,6 +36,23 @@ def _encoder_flops(cfg_enc, batch: int, steps: int, input_dim: int):
 
     total = 0.0
     d = input_dim
+    if cfg_enc.encoder_type == "transformer":
+        dm = cfg_enc.hidden_units[0]
+        for i, r in enumerate(time_reductions(cfg_enc)):
+            steps = -(-steps // r)
+            d *= r
+            if i == 0:
+                total += 2.0 * batch * steps * d * dm  # input projection
+            elif r > 1:
+                total += 2.0 * batch * steps * d * dm  # fold re-projection
+            # qkv+output projections, score/context einsums, FFN
+            total += 4 * 2.0 * batch * steps * dm * dm
+            total += 2 * 2.0 * batch * steps * steps * dm
+            total += 2 * 2.0 * batch * steps * dm * (
+                cfg_enc.ff_multiplier * dm
+            )
+            d = dm
+        return total, steps
     for h, r in zip(cfg_enc.hidden_units, time_reductions(cfg_enc)):
         steps = -(-steps // r)
         d *= r
@@ -117,13 +134,13 @@ def train_step_flops(
             cfg.video_encoder, batch, video_frames, cfg.video.embedding_dim
         )
         comps["video_encoder"] = {"fwd": venc_flops, "factor": 3.0}
-        video_out = cfg.video_encoder.hidden_units[-1] * (
-            2 if cfg.video_encoder.bidirectional else 1
-        )
+        from avsr_tpu.models.encoder import encoder_output_dim
 
-    audio_out = cfg.audio_encoder.hidden_units[-1] * (
-        2 if cfg.audio_encoder.bidirectional else 1
-    )
+        video_out = encoder_output_dim(cfg.video_encoder)
+
+    from avsr_tpu.models.encoder import encoder_output_dim
+
+    audio_out = encoder_output_dim(cfg.audio_encoder)
 
     if arch == "audio":
         memory_dims = [audio_out]

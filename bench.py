@@ -72,19 +72,31 @@ def main() -> None:
     #   AVSR_BENCH_DECODER_VDIM=N    decoder.memory_value_dim (0 = off)
     #   AVSR_BENCH_TIME_REDUCTION=1,2,2  audio_encoder.time_reduction
     #                                (pyramidal LAS; empty/unset = off)
+    #   AVSR_BENCH_XF=d,layers,heads  swap the audio encoder for the
+    #                                transformer option (models/
+    #                                transformer.py), e.g. 512,3,8
     fuse = os.environ.get("AVSR_BENCH_FUSE", "0") == "1"
     f_vdim = int(os.environ.get("AVSR_BENCH_FUSION_VDIM", "256")) or None
     d_vdim = int(os.environ.get("AVSR_BENCH_DECODER_VDIM", "256")) or None
     tr_env = os.environ.get("AVSR_BENCH_TIME_REDUCTION", "")
     time_red = tuple(int(x) for x in tr_env.split(",")) if tr_env else None
+    xf_env = os.environ.get("AVSR_BENCH_XF", "")
+    if xf_env:
+        xd, xl, xh = (int(x) for x in xf_env.split(","))
+        audio_encoder = EncoderConfig(
+            hidden_units=(xd,) * xl, encoder_type="transformer",
+            num_heads=xh, dropout_rate=0.1, time_reduction=time_red,
+        )
+    else:
+        audio_encoder = EncoderConfig(hidden_units=(256, 256, 256),
+                                      bidirectional=True, dropout_rate=0.1,
+                                      time_reduction=time_red)
 
     cfg = ExperimentConfig(
         architecture="av_align",
         audio=AudioFrontendConfig(),  # 30 mel + deltas, stack 8 skip 3
         video=VideoFrontendConfig(),
-        audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
-                                    bidirectional=True, dropout_rate=0.1,
-                                    time_reduction=time_red),
+        audio_encoder=audio_encoder,
         video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
         fusion=FusionConfig(attention_units=128, memory_value_dim=f_vdim),
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
