@@ -167,6 +167,16 @@ class FusionConfig:
     # (RESULTS.md round-2 floor analysis) — streaming fewer bytes is the
     # only remaining speedup; changes the model (context dim = value dim).
     memory_value_dim: Optional[int] = None
+    # Fusion family: "av_align" (reference mechanism — the recurrent scan
+    # above) or "cross_attention" (opt-in extension, models/fusion.py
+    # cross_attention_fusion_apply: scan-free multi-head cross-attention,
+    # audio queries over video keys/values in a few large MXU matmuls;
+    # pairs with encoder_type="transformer" for a fully scan-free encode
+    # path).  attention_units = per-head query/key dim there;
+    # input_feeding applies to "av_align" only; memory_value_dim sets the
+    # attended-context dim for both.
+    fusion_type: str = "av_align"
+    num_heads: int = 4
 
 
 @dataclass(frozen=True)

@@ -161,6 +161,103 @@ def av_align_apply(
     return AVAlignOutput(fused=fused, alignments=aligns, au_predictions=au_pred)
 
 
+def cross_attention_fusion_init(
+    key,
+    cfg: FusionConfig,
+    audio_dim: int,
+    video_dim: int,
+    dtype=jnp.float32,
+) -> Params:
+    """Scan-free fusion (FusionConfig.fusion_type="cross_attention" —
+    opt-in extension, no reference counterpart): multi-head cross
+    attention with audio queries over video keys/values.  The fused
+    memory keeps AV-Align's [audio ; attended-visual-context] layout, so
+    the decoder and AU head are unchanged; what changes is HOW the
+    context is computed — a few large MXU matmuls over the whole
+    [T_a, B, ...] block instead of a sequential lax.scan (the scan is the
+    train step's largest single consumer, RESULTS.md component budget).
+    """
+    ctx_dim = cfg.memory_value_dim or video_dim
+    if ctx_dim % cfg.num_heads != 0:
+        raise ValueError(
+            f"fusion context dim {ctx_dim} (memory_value_dim or video dim) "
+            f"not divisible by fusion num_heads {cfg.num_heads}"
+        )
+    qk = cfg.attention_units * cfg.num_heads
+    ks = jax.random.split(key, 5)
+    params: Params = {
+        "wq": glorot_uniform(ks[0], (audio_dim, qk), dtype),
+        "wk": glorot_uniform(ks[1], (video_dim, qk), dtype),
+        "wv": glorot_uniform(ks[2], (video_dim, ctx_dim), dtype),
+        "wo": glorot_uniform(ks[3], (ctx_dim, ctx_dim), dtype),
+    }
+    if cfg.au_loss_weight > 0.0:
+        params["au_w"] = glorot_uniform(ks[4], (ctx_dim, cfg.au_dim), dtype)
+        params["au_b"] = jnp.zeros((cfg.au_dim,), dtype)
+    return params
+
+
+def cross_attention_fusion_apply(
+    params: Params,
+    cfg: FusionConfig,
+    audio_tbd: jnp.ndarray,
+    audio_lengths: jnp.ndarray,
+    video_memory: jnp.ndarray,
+    video_lengths: jnp.ndarray,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> AVAlignOutput:
+    """Same contract as av_align_apply (fused memory is
+    [audio_out ; context], time-major, padded steps exactly zero;
+    alignments [T_a, B, T_v] are the head-averaged attention weights)."""
+    cdt = compute_dtype
+    T_a, B, _ = audio_tbd.shape
+    T_v = video_memory.shape[1]
+    nh = cfg.num_heads
+    A = cfg.attention_units
+    ctx_dim = params["wv"].shape[-1]
+    dv = ctx_dim // nh
+
+    a_bm = jnp.transpose(audio_tbd, (1, 0, 2)).astype(cdt)  # [B, T_a, Da]
+    vm = video_memory.astype(cdt)
+    q = (a_bm @ params["wq"].astype(cdt)).reshape(B, T_a, nh, A)
+    k = (vm @ params["wk"].astype(cdt)).reshape(B, T_v, nh, A)
+    v = (vm @ params["wv"].astype(cdt)).reshape(B, T_v, nh, dv)
+    scores = jnp.einsum("bqha,bkha->bhqk", q, k).astype(jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(A))
+    key_valid = (
+        jnp.arange(T_v)[None, :] < video_lengths[:, None]
+    ).astype(jnp.float32)  # [B, T_v]
+    scores = scores + (1.0 - key_valid)[:, None, None, :] * -1e9
+    w = jax.nn.softmax(scores, axis=-1)  # [B, nh, T_a, T_v] fp32
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", w.astype(cdt), v).reshape(
+        B, T_a, ctx_dim
+    )
+    ctx = (ctx @ params["wo"].astype(cdt)).astype(jnp.float32)
+
+    a_mask = (
+        jnp.arange(T_a)[:, None] < audio_lengths[None, :]
+    ).astype(jnp.float32)  # [T_a, B]
+    ctx_tm = jnp.transpose(ctx, (1, 0, 2)) * a_mask[:, :, None]
+    fused = jnp.concatenate(
+        [audio_tbd * a_mask[:, :, None], ctx_tm], axis=-1
+    )
+    aligns = jnp.transpose(jnp.mean(w, axis=1), (1, 0, 2)) * a_mask[:, :, None]
+
+    au_pred = None
+    if "au_w" in params:
+        au_pred = (
+            jnp.einsum(
+                "tbh,hd->tbd", ctx_tm.astype(cdt),
+                params["au_w"].astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+            + params["au_b"]
+        ) * a_mask[:, :, None]
+
+    return AVAlignOutput(fused=fused, alignments=aligns, au_predictions=au_pred)
+
+
 def au_regression_loss(
     au_pred: jnp.ndarray,
     au_target: jnp.ndarray,

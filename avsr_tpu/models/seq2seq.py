@@ -80,13 +80,26 @@ def model_init(key, cfg: ExperimentConfig, vocab_size: int) -> Params:
     elif arch == "video":
         memory_dims = [video_out]
     elif arch == "av_align":
-        fusion_hidden = cfg.audio_encoder.hidden_units[-1]
-        params["fusion"] = fus.av_align_init(
-            keys[3], cfg.fusion, audio_out, fusion_hidden, video_out
-        )
-        # fused memory = [audio LSTM state ; attended visual context]; the
-        # context half shrinks to memory_value_dim when values are projected
-        memory_dims = [fusion_hidden + (cfg.fusion.memory_value_dim or video_out)]
+        if cfg.fusion.fusion_type == "cross_attention":
+            # scan-free fusion: fused memory = [audio encoder output ;
+            # attended visual context] (no extra fusion LSTM state)
+            params["fusion"] = fus.cross_attention_fusion_init(
+                keys[3], cfg.fusion, audio_out, video_out
+            )
+            memory_dims = [
+                audio_out + (cfg.fusion.memory_value_dim or video_out)
+            ]
+        else:
+            fusion_hidden = cfg.audio_encoder.hidden_units[-1]
+            params["fusion"] = fus.av_align_init(
+                keys[3], cfg.fusion, audio_out, fusion_hidden, video_out
+            )
+            # fused memory = [audio LSTM state ; attended visual context];
+            # the context half shrinks to memory_value_dim when values are
+            # projected
+            memory_dims = [
+                fusion_hidden + (cfg.fusion.memory_value_dim or video_out)
+            ]
     elif arch == "bimodal":
         memory_dims = [audio_out, video_out]
     else:
@@ -112,10 +125,12 @@ def memory_dims_of(cfg: ExperimentConfig) -> List[int]:
     if arch == "video":
         return [video_out]
     if arch == "av_align":
-        return [
-            cfg.audio_encoder.hidden_units[-1]
-            + (cfg.fusion.memory_value_dim or video_out)
-        ]
+        audio_half = (
+            audio_out
+            if cfg.fusion.fusion_type == "cross_attention"
+            else cfg.audio_encoder.hidden_units[-1]
+        )
+        return [audio_half + (cfg.fusion.memory_value_dim or video_out)]
     if arch == "bimodal":
         return [audio_out, video_out]
     raise ValueError(arch)
@@ -280,7 +295,12 @@ def encode(
     elif arch == "video":
         mems = (prep(dec_cfg, params, 0, video_mem, video_mem_len, cdt),)
     elif arch == "av_align":
-        out = fus.av_align_apply(
+        fusion_apply = (
+            fus.cross_attention_fusion_apply
+            if cfg.fusion.fusion_type == "cross_attention"
+            else fus.av_align_apply
+        )
+        out = fusion_apply(
             params["fusion"], cfg.fusion, audio_out_tb, audio_mem_len,
             video_mem, video_mem_len, compute_dtype=cdt,
         )

@@ -152,18 +152,32 @@ def train_step_flops(
         memory_dims = [audio_out, video_out]
         memory_lens = [T_a, video_frames]
     else:  # av_align
-        H = cfg.audio_encoder.hidden_units[-1]
         ctx_v = cfg.fusion.memory_value_dim or video_out
-        fusion = _lstm_flops(batch, T_a, audio_out, H)
-        if cfg.fusion.input_feeding:  # ctx -> 4H projection inside the scan
-            fusion += 2.0 * batch * T_a * ctx_v * 4 * H
-        fusion += _attention_flops(batch, T_a, video_frames, video_out, H,
-                                   cfg.fusion.attention_units,
-                                   value_dim=cfg.fusion.memory_value_dim)
-        if cfg.fusion.au_loss_weight > 0.0:
-            fusion += 2.0 * batch * T_a * ctx_v * cfg.fusion.au_dim
-        comps["fusion"] = {"fwd": fusion, "factor": 4.0}  # remat'd scan body
-        memory_dims = [H + ctx_v]
+        if cfg.fusion.fusion_type == "cross_attention":
+            qk = cfg.fusion.attention_units * cfg.fusion.num_heads
+            fusion = 2.0 * batch * T_a * audio_out * qk  # q proj
+            fusion += 2.0 * batch * video_frames * video_out * qk  # k proj
+            fusion += 2.0 * batch * video_frames * video_out * ctx_v  # v
+            fusion += 2.0 * batch * T_a * video_frames * qk  # scores
+            fusion += 2.0 * batch * T_a * video_frames * ctx_v  # context
+            fusion += 2.0 * batch * T_a * ctx_v * ctx_v  # output proj
+            if cfg.fusion.au_loss_weight > 0.0:
+                fusion += 2.0 * batch * T_a * ctx_v * cfg.fusion.au_dim
+            comps["fusion"] = {"fwd": fusion, "factor": 3.0}  # no remat scan
+            memory_dims = [audio_out + ctx_v]
+        else:
+            H = cfg.audio_encoder.hidden_units[-1]
+            fusion = _lstm_flops(batch, T_a, audio_out, H)
+            if cfg.fusion.input_feeding:  # ctx -> 4H proj inside the scan
+                fusion += 2.0 * batch * T_a * ctx_v * 4 * H
+            fusion += _attention_flops(batch, T_a, video_frames, video_out,
+                                       H, cfg.fusion.attention_units,
+                                       value_dim=cfg.fusion.memory_value_dim)
+            if cfg.fusion.au_loss_weight > 0.0:
+                fusion += 2.0 * batch * T_a * ctx_v * cfg.fusion.au_dim
+            # remat'd scan body
+            comps["fusion"] = {"fwd": fusion, "factor": 4.0}
+            memory_dims = [H + ctx_v]
         memory_lens = [T_a]
 
     # Decoder: input-fed LSTM stack + one attention per memory + out proj.

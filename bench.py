@@ -75,6 +75,8 @@ def main() -> None:
     #   AVSR_BENCH_XF=d,layers,heads  swap the audio encoder for the
     #                                transformer option (models/
     #                                transformer.py), e.g. 512,3,8
+    #   AVSR_BENCH_FUSION_TYPE=cross_attention  scan-free multi-head
+    #                                fusion (models/fusion.py)
     fuse = os.environ.get("AVSR_BENCH_FUSE", "0") == "1"
     f_vdim = int(os.environ.get("AVSR_BENCH_FUSION_VDIM", "256")) or None
     d_vdim = int(os.environ.get("AVSR_BENCH_DECODER_VDIM", "256")) or None
@@ -98,7 +100,10 @@ def main() -> None:
         video=VideoFrontendConfig(),
         audio_encoder=audio_encoder,
         video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
-        fusion=FusionConfig(attention_units=128, memory_value_dim=f_vdim),
+        fusion=FusionConfig(
+            attention_units=128, memory_value_dim=f_vdim,
+            fusion_type=os.environ.get("AVSR_BENCH_FUSION_TYPE", "av_align"),
+        ),
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
                               attention_units=128,
                               max_label_length=LABEL_LEN,
