@@ -530,6 +530,34 @@ def lrs2_full() -> ExperimentConfig:
     )
 
 
+def lrs2_av_v2() -> ExperimentConfig:
+    """Scan-free AV model family (opt-in extension — NOT the reference
+    architecture): transformer audio/video encoders + multi-head
+    cross-attention fusion.  The whole encode path is large MXU matmuls
+    (no lax.scan), which is where the reference-parity model is
+    sequential-latency bound (RESULTS.md component budget).  Same data
+    pipeline, decoder, losses, decode, and serving as lrs2_av_align;
+    quality gates: overfit suites (tests/test_transformer_encoder.py,
+    tests/test_cross_attention_fusion.py) — corpus-scale WER unvalidated,
+    measure against lrs2_av_align on your data before adopting."""
+    base = lrs2_full()
+    return base.replace(
+        audio_encoder=EncoderConfig(
+            hidden_units=(512, 512, 512), encoder_type="transformer",
+            num_heads=8, dropout_rate=0.1,
+        ),
+        video_encoder=EncoderConfig(
+            hidden_units=(512,), encoder_type="transformer", num_heads=8,
+            dropout_rate=0.1,
+        ),
+        fusion=FusionConfig(
+            fusion_type="cross_attention", num_heads=4, attention_units=64,
+            memory_value_dim=256, au_loss_weight=10.0,
+        ),
+        name="lrs2_av_v2",
+    )
+
+
 PRESETS = {
     "audio_tcdtimit": audio_only_tcdtimit,
     "video_tcdtimit": video_only_tcdtimit,
@@ -537,4 +565,5 @@ PRESETS = {
     "bimodal_tcdtimit": bimodal_tcdtimit,
     "av_align_noisy": av_align_noisy,
     "lrs2_av_align": lrs2_full,
+    "lrs2_av_v2": lrs2_av_v2,
 }

@@ -129,3 +129,75 @@ def test_exponential_decay_matches_reference_semantics():
     np.testing.assert_allclose(float(s(0)), 1e-3, rtol=1e-6)
     np.testing.assert_allclose(float(s(10)), 9e-4, rtol=1e-6)
     np.testing.assert_allclose(float(s(25)), 1e-3 * 0.9**2, rtol=1e-6)
+
+
+def _scanfree_config():
+    """The v2 family (transformer encoders + cross-attention fusion) at
+    tiny dims — tests/test_transformer_encoder.py and
+    tests/test_cross_attention_fusion.py cover the components; these
+    properties pin the ASSEMBLED model to the same bucketing guarantees
+    as the reference-parity family."""
+    import dataclasses
+
+    from avsr_tpu.configs import EncoderConfig
+
+    cfg = tiny_config("av_align")
+    return cfg.replace(
+        audio_encoder=EncoderConfig(hidden_units=(16, 16),
+                                    encoder_type="transformer", num_heads=4,
+                                    dropout_rate=0.0),
+        video_encoder=EncoderConfig(hidden_units=(16,),
+                                    encoder_type="transformer", num_heads=4,
+                                    dropout_rate=0.0),
+        fusion=dataclasses.replace(cfg.fusion, fusion_type="cross_attention",
+                                   num_heads=2),
+    )
+
+
+def test_scanfree_family_padding_invariance(rng):
+    """v2 model: same AV utterance padded to different audio AND video
+    horizons -> identical loss and identical greedy decode."""
+    cfg = _scanfree_config()
+    params = seq2seq.model_init(jax.random.PRNGKey(7), cfg, VOCAB)
+    wav = rng.standard_normal(3000).astype(np.float32)
+    vid = rng.standard_normal((8, 12, 12, 1)).astype(np.float32)
+    tgt = np.array([[3, 4, 5, 2, 0, 0]], np.int32)
+
+    def make(S, Tv):
+        audio = np.zeros((1, S), np.float32)
+        audio[0, :3000] = wav
+        video = np.zeros((1, Tv, 12, 12, 1), np.float32)
+        video[0, :8] = vid
+        return Batch(
+            audio=jnp.asarray(audio),
+            audio_lengths=jnp.asarray([3000], jnp.int32),
+            video=jnp.asarray(video),
+            video_lengths=jnp.asarray([8], jnp.int32),
+            targets=jnp.asarray(tgt),
+            target_lengths=jnp.asarray([4], jnp.int32),
+        )
+
+    b1, b2 = make(4000, 8), make(6400, 13)
+    l1, _ = seq2seq.loss_fn(params, cfg, b1, train=False)
+    l2, _ = seq2seq.loss_fn(params, cfg, b2, train=False)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    ids = []
+    for b in (b1, b2):
+        out = seq2seq.encode(params, cfg, b, train=False)
+        i, _ = greedy_decode(
+            params["decoder"], cfg.decoder, out.memories, 6,
+            compute_dtype=jnp.float32,
+        )
+        ids.append(np.asarray(i))
+    np.testing.assert_array_equal(ids[0], ids[1])
+
+
+def test_scanfree_family_jit_vs_nojit(rng):
+    cfg = _scanfree_config()
+    params = seq2seq.model_init(jax.random.PRNGKey(8), cfg, VOCAB)
+    b = tiny_batch("av_align", rng)
+    l_no, _ = seq2seq.loss_fn(params, cfg, b, train=False)
+    l_jit, _ = jax.jit(
+        lambda p, bb: seq2seq.loss_fn(p, cfg, bb, train=False)
+    )(params, b)
+    np.testing.assert_allclose(float(l_no), float(l_jit), rtol=1e-5)

@@ -1,0 +1,83 @@
+"""Sequential TPU A/B sweep of bench.py's model-variant knobs.
+
+Runs bench.py (the flagship AV-Align train-step benchmark) once per arm,
+each in its own process (fresh compile cache semantics, no cross-arm
+interference), and writes one JSON object per arm to BENCH_variants.json.
+Arms cover the opt-in model extensions so their measured deltas live next
+to the reference-parity flagship:
+
+  flagship          vdim 256/256 (the bench default)
+  reference_dims    no value projection (paper dims)
+  time_reduction    audio pyramid (1,2,2) — LAS subsampling
+  xf_encoder        transformer audio encoder (512x3, 8 heads)
+  xa_fusion         scan-free cross-attention fusion
+  v2_scanfree       transformer encoder + cross-attention fusion
+
+Usage: python tools/bench_variants.py [arm ...]   (default: all)
+Each arm is a full bench.py run: ~4 min steady state plus a remote
+compile that can take 2-15+ min per new program shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ARMS = {
+    "flagship": {},
+    "reference_dims": {"AVSR_BENCH_FUSION_VDIM": "0",
+                       "AVSR_BENCH_DECODER_VDIM": "0"},
+    "time_reduction": {"AVSR_BENCH_TIME_REDUCTION": "1,2,2"},
+    "xf_encoder": {"AVSR_BENCH_XF": "512,3,8"},
+    "xa_fusion": {"AVSR_BENCH_FUSION_TYPE": "cross_attention"},
+    "v2_scanfree": {"AVSR_BENCH_XF": "512,3,8",
+                    "AVSR_BENCH_FUSION_TYPE": "cross_attention"},
+}
+
+PER_ARM_TIMEOUT_S = 40 * 60
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(ARMS)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = []
+    for name in names:
+        env = dict(os.environ, **ARMS[name])
+        t0 = time.time()
+        print(f"[bench_variants] {name}: {ARMS[name]}", flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(root, "bench.py")],
+                capture_output=True, text=True, timeout=PER_ARM_TIMEOUT_S,
+                env=env, cwd=root,
+            )
+            line = next(
+                (ln for ln in reversed(proc.stdout.strip().splitlines())
+                 if ln.startswith("{")), None,
+            )
+            if proc.returncode == 0 and line:
+                rec = {"arm": name, "env": ARMS[name],
+                       "wall_s": round(time.time() - t0, 1),
+                       **json.loads(line)}
+            else:
+                rec = {"arm": name, "env": ARMS[name], "error": "bench failed",
+                       "returncode": proc.returncode,
+                       "stderr_tail": proc.stderr[-2000:]}
+        except subprocess.TimeoutExpired:
+            rec = {"arm": name, "env": ARMS[name],
+                   "error": f"timeout after {PER_ARM_TIMEOUT_S}s"}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+        with open(os.path.join(root, "BENCH_variants.json"), "w") as f:
+            json.dump(results, f, indent=1)
+    ok = [r for r in results if "error" not in r]
+    print(f"[bench_variants] {len(ok)}/{len(results)} arms ok "
+          f"-> BENCH_variants.json", flush=True)
+    return 0 if len(ok) == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
