@@ -209,6 +209,17 @@ class DecoderConfig:
     # re-read the values every step (bandwidth floor) — smaller values
     # stream fewer bytes; changes the model (context dim = value dim).
     memory_value_dim: Optional[int] = None
+    # Decoder family: "rnn" (reference parity — the attention LSTM above)
+    # or "transformer" (opt-in extension, models/transformer_decoder.py:
+    # causal self-attention + per-memory cross-attention; teacher forcing
+    # runs ALL label positions in parallel — no scan — and decode carries
+    # KV caches through the same greedy/beam engines).  hidden_units must
+    # all equal d_model; scheduled sampling is rejected (sequential by
+    # nature); every attention-memory dim (or memory_value_dim) must be
+    # divisible by num_heads.
+    decoder_type: str = "rnn"
+    num_heads: int = 4
+    ff_multiplier: int = 4
 
 
 @dataclass(frozen=True)
@@ -533,13 +544,15 @@ def lrs2_full() -> ExperimentConfig:
 def lrs2_av_v2() -> ExperimentConfig:
     """Scan-free AV model family (opt-in extension — NOT the reference
     architecture): transformer audio/video encoders + multi-head
-    cross-attention fusion.  The whole encode path is large MXU matmuls
-    (no lax.scan), which is where the reference-parity model is
-    sequential-latency bound (RESULTS.md component budget).  Same data
-    pipeline, decoder, losses, decode, and serving as lrs2_av_align;
-    quality gates: overfit suites (tests/test_transformer_encoder.py,
-    tests/test_cross_attention_fusion.py) — corpus-scale WER unvalidated,
-    measure against lrs2_av_align on your data before adopting."""
+    cross-attention fusion + transformer decoder.  The ENTIRE train step
+    is large MXU matmuls (no lax.scan anywhere), which is where the
+    reference-parity model is sequential-latency bound (RESULTS.md
+    component budget).  Same data pipeline, losses, beam decode engines,
+    and serving as lrs2_av_align; quality gates: overfit suites
+    (tests/test_transformer_encoder.py, tests/test_cross_attention_
+    fusion.py, tests/test_transformer_decoder.py) — corpus-scale WER
+    unvalidated, measure against lrs2_av_align on your data before
+    adopting.  No scheduled sampling (rejected for the parallel decoder)."""
     base = lrs2_full()
     return base.replace(
         audio_encoder=EncoderConfig(
@@ -553,6 +566,10 @@ def lrs2_av_v2() -> ExperimentConfig:
         fusion=FusionConfig(
             fusion_type="cross_attention", num_heads=4, attention_units=64,
             memory_value_dim=256, au_loss_weight=10.0,
+        ),
+        decoder=DecoderConfig(
+            decoder_type="transformer", hidden_units=(256,), num_heads=4,
+            max_label_length=150, memory_value_dim=256,
         ),
         name="lrs2_av_v2",
     )

@@ -99,7 +99,10 @@ def beam_search(
     memory_dims = [m.values.shape[-1] for m in memories]
     tiled = [_tile_memory(m, W) for m in memories]
 
-    state0 = dec.initial_state(cfg, B * W, memory_dims)
+    state0 = dec.initial_state(cfg, B * W, memory_dims,
+                               max_length=max_length)
+    cross_kv = dec.prepare_cross(params, cfg, tiled,
+                                 compute_dtype=compute_dtype)
     tok0 = jnp.full((B, W), GO_ID, jnp.int32)
     # Only beam 0 is live at step 0 (all beams start identical).
     logp0 = jnp.tile(
@@ -139,7 +142,7 @@ def beam_search(
         t, state, tok, logp, finished, lens, tokens_buf, parents_buf = carry
         state, logits = dec.decoder_step(
             params, cfg, tok.reshape(B * W), state, tiled,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, cross_kv=cross_kv,
         )
         V = logits.shape[-1]
         step_logp = jax.nn.log_softmax(logits, axis=-1)

@@ -36,7 +36,9 @@ def greedy_decode(
     # decode/beam.py _tile_memory).
     memories = jax.lax.optimization_barrier(list(memories))
     memory_dims = [m.values.shape[-1] for m in memories]
-    state0 = dec.initial_state(cfg, B, memory_dims)
+    state0 = dec.initial_state(cfg, B, memory_dims, max_length=max_length)
+    cross_kv = dec.prepare_cross(params, cfg, memories,
+                                 compute_dtype=compute_dtype)
     tok0 = jnp.full((B,), GO_ID, jnp.int32)
     done0 = jnp.zeros((B,), bool)
 
@@ -53,7 +55,8 @@ def greedy_decode(
     def body(carry):
         t, state, tok, done, ids_buf = carry
         state, logits = dec.decoder_step(
-            params, cfg, tok, state, memories, compute_dtype=compute_dtype
+            params, cfg, tok, state, memories, compute_dtype=compute_dtype,
+            cross_kv=cross_kv,
         )
         # PAD/GO are bookkeeping ids, never legal emissions.
         logits = logits.at[:, PAD_ID].set(-1e30).at[:, GO_ID].set(-1e30)

@@ -48,6 +48,15 @@ def decoder_init(
     vocab_size: int,
     dtype=jnp.float32,
 ) -> Params:
+    if cfg.decoder_type == "transformer":
+        from avsr_tpu.models.transformer_decoder import (
+            transformer_decoder_init,
+        )
+
+        return transformer_decoder_init(key, cfg, memory_dims, vocab_size,
+                                        dtype)
+    if cfg.decoder_type != "rnn":
+        raise ValueError(f"unknown decoder_type {cfg.decoder_type!r}")
     n_mem = len(memory_dims)
     # With memory_value_dim set, each attention context (the tensor carried
     # through input feeding and the output projection) has the projected
@@ -82,8 +91,18 @@ def decoder_init(
 
 
 def initial_state(
-    cfg: DecoderConfig, batch: int, memory_dims: Sequence[int]
-) -> DecoderState:
+    cfg: DecoderConfig, batch: int, memory_dims: Sequence[int],
+    max_length: Optional[int] = None,
+):
+    if cfg.decoder_type == "transformer":
+        from avsr_tpu.models import transformer_decoder as tdec
+
+        if max_length is None:
+            raise ValueError(
+                "transformer decoder state needs max_length (KV cache "
+                "horizon); the decode engines pass their static horizon"
+            )
+        return tdec.initial_cache(cfg, batch, max_length)
     lstm = tuple(
         (jnp.zeros((batch, h), jnp.float32), jnp.zeros((batch, h), jnp.float32))
         for h in cfg.hidden_units
@@ -96,23 +115,33 @@ def decoder_step(
     params: Params,
     cfg: DecoderConfig,
     tokens: jnp.ndarray,
-    state: DecoderState,
+    state,
     memories: Sequence[attn.AttentionMemory],
     *,
     compute_dtype=jnp.bfloat16,
     dropout_masks: Optional[Sequence[jnp.ndarray]] = None,
+    cross_kv=None,
 ) -> Tuple[DecoderState, jnp.ndarray]:
     """One decode step.
 
     Args:
       tokens: [B] int32 previous output tokens.
-      state: DecoderState.
+      state: DecoderState (rnn) or TransformerDecoderState (KV caches).
       memories: preprocessed attention memories (1 = unimodal, 2 = bimodal).
       dropout_masks: optional per-layer [B, H] variational dropout masks
         (training only; one fixed mask per sequence, DropoutWrapper-style).
+      cross_kv: loop-invariant ``prepare_cross`` result (transformer only;
+        the decode engines hoist it out of their while_loops).
 
     Returns (new_state, logits [B, V] fp32).
     """
+    if cfg.decoder_type == "transformer":
+        from avsr_tpu.models import transformer_decoder as tdec
+
+        return tdec.decode_step(
+            params, cfg, tokens, state, memories, cross_kv,
+            compute_dtype=compute_dtype,
+        )
     emb = params["embedding"][tokens]  # [B, E] gather
     x = jnp.concatenate([emb, *state.contexts], axis=-1)
 
@@ -146,6 +175,24 @@ def decoder_step(
     return DecoderState(lstm=tuple(new_lstm), contexts=tuple(new_contexts)), logits
 
 
+def prepare_cross(
+    params: Params,
+    cfg: DecoderConfig,
+    memories: Sequence[attn.AttentionMemory],
+    *,
+    compute_dtype=jnp.bfloat16,
+):
+    """Loop-invariant cross-attention key projections for the transformer
+    decoder (None for the RNN family) — the decode engines compute this
+    once, outside their while_loops, and close over it."""
+    if cfg.decoder_type == "transformer":
+        from avsr_tpu.models import transformer_decoder as tdec
+
+        return tdec.prepare_cross(params, cfg, memories,
+                                  compute_dtype=compute_dtype)
+    return None
+
+
 def teacher_forced_logits(
     params: Params,
     cfg: DecoderConfig,
@@ -172,6 +219,15 @@ def teacher_forced_logits(
 
     Returns logits [B, K, V] fp32.
     """
+    if cfg.decoder_type == "transformer":
+        from avsr_tpu.models import transformer_decoder as tdec
+
+        # Scheduled sampling is rejected at init for this family; the
+        # parallel pass IS teacher forcing.
+        return tdec.teacher_forced_logits(
+            params, cfg, targets, target_lengths, memories, rng=rng,
+            compute_dtype=compute_dtype, dropout=dropout,
+        )
     B, K = targets.shape
     memory_dims = [m.values.shape[-1] for m in memories]
     state0 = initial_state(cfg, B, memory_dims)

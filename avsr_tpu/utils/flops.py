@@ -180,21 +180,41 @@ def train_step_flops(
             memory_dims = [H + ctx_v]
         memory_lens = [T_a]
 
-    # Decoder: input-fed LSTM stack + one attention per memory + out proj.
+    # Decoder: input-fed LSTM stack + one attention per memory + out proj
+    # (rnn), or causal self-attn + per-memory cross-attn (transformer).
     d = cfg.decoder
     dec = 0.0
     ctx_dims = [d.memory_value_dim or m for m in memory_dims]
-    in_dim = d.embedding_dim + sum(ctx_dims)
-    for h in d.hidden_units:
-        dec += _lstm_flops(batch, label_len, in_dim, h)
-        in_dim = h
-    top = d.hidden_units[-1]
-    for m_dim, m_len in zip(memory_dims, memory_lens):
-        dec += _attention_flops(batch, label_len, m_len, m_dim, top,
-                                d.attention_units,
-                                value_dim=d.memory_value_dim)
-    dec += 2.0 * batch * label_len * (top + sum(ctx_dims)) * vocab
-    comps["decoder"] = {"fwd": dec, "factor": 4.0}  # remat'd scan body
+    if d.decoder_type == "transformer":
+        D = d.hidden_units[0]
+        qk = d.attention_units * d.num_heads
+        K = label_len
+        dec += 2.0 * batch * K * d.embedding_dim * D  # input projection
+        for _ in d.hidden_units:
+            dec += 4 * 2.0 * batch * K * D * D          # self qkv + out
+            dec += 2 * 2.0 * batch * K * K * D          # causal attn
+            dec += 2.0 * batch * K * D * qk             # cross queries
+            for m_dim, c_dim, m_len in zip(memory_dims, ctx_dims,
+                                           memory_lens):
+                dec += 2.0 * batch * m_len * c_dim * qk  # cross keys
+                dec += 2.0 * batch * K * m_len * qk      # cross scores
+                dec += 2.0 * batch * K * m_len * c_dim   # cross context
+            dec += 2.0 * batch * K * sum(ctx_dims) * D   # context out proj
+            dec += 2 * 2.0 * batch * K * D * (d.ff_multiplier * D)
+        dec += 2.0 * batch * K * D * vocab
+        comps["decoder"] = {"fwd": dec, "factor": 3.0}  # no remat scan
+    else:
+        in_dim = d.embedding_dim + sum(ctx_dims)
+        for h in d.hidden_units:
+            dec += _lstm_flops(batch, label_len, in_dim, h)
+            in_dim = h
+        top = d.hidden_units[-1]
+        for m_dim, m_len in zip(memory_dims, memory_lens):
+            dec += _attention_flops(batch, label_len, m_len, m_dim, top,
+                                    d.attention_units,
+                                    value_dim=d.memory_value_dim)
+        dec += 2.0 * batch * label_len * (top + sum(ctx_dims)) * vocab
+        comps["decoder"] = {"fwd": dec, "factor": 4.0}  # remat'd scan body
 
     out: Dict[str, float] = {}
     fwd_total = train_total = 0.0

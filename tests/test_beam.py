@@ -35,7 +35,8 @@ def build(rng_seed=0, B=2, S=3, H=5, cfg=CFG):
 def score_sequence(params, mem, b, seq, cfg=CFG):
     """Teacher-forced log prob of `seq` (which may end with EOS) for batch
     row b, using the same decoder_step as beam search."""
-    state = dec.initial_state(cfg, mem.values.shape[0], [mem.values.shape[-1]])
+    state = dec.initial_state(cfg, mem.values.shape[0],
+                              [mem.values.shape[-1]], max_length=MAXLEN)
     tok = jnp.full((mem.values.shape[0],), GO_ID, jnp.int32)
     total = 0.0
     for t in seq:
