@@ -230,3 +230,58 @@ def test_uneven_batch_over_mesh_fails_loudly(tmp_path):
             run_dir=str(tmp_path / "m"), train_utterances=data,
             eval_utterances=data, mesh=mesh,
         )
+
+
+def test_tp_train_step_matches_single_device_v2_family(rng):
+    """Same DP+TP == single-device bar for the scan-free v2 family
+    (transformer encoders + cross-attention fusion + transformer
+    decoder): the generic output-dim TP pspec rules must remain
+    numerics-preserving on the new parameter families."""
+    import dataclasses
+
+    from avsr_tpu.configs import DecoderConfig, EncoderConfig
+    from avsr_tpu.parallel import tp
+    from avsr_tpu.train import step as step_lib
+
+    cfg = tiny_config("av_align")
+    cfg = cfg.replace(
+        audio_encoder=EncoderConfig(hidden_units=(16, 16),
+                                    encoder_type="transformer", num_heads=4,
+                                    dropout_rate=0.0),
+        video_encoder=EncoderConfig(hidden_units=(16,),
+                                    encoder_type="transformer", num_heads=4,
+                                    dropout_rate=0.0),
+        fusion=dataclasses.replace(cfg.fusion, fusion_type="cross_attention",
+                                   num_heads=2),
+        decoder=DecoderConfig(
+            embedding_dim=8, hidden_units=(16,), attention_units=8,
+            max_label_length=6, dropout_rate=0.0,
+            decoder_type="transformer", num_heads=4,
+        ),
+    )
+    B = 8
+    batch = tiny_batch("av_align", rng, B=B)
+    batch = batch._replace(
+        audio_lengths=jnp.full((B,), batch.audio.shape[1], jnp.int32),
+        video_lengths=jnp.full((B,), batch.video.shape[1], jnp.int32),
+        target_lengths=jnp.full((B,), batch.targets.shape[1], jnp.int32),
+    )
+    step_rng = jax.random.PRNGKey(9)
+
+    state1, tx1 = step_lib.create_train_state(jax.random.PRNGKey(1), cfg,
+                                              VOCAB)
+    step1 = step_lib.make_jitted_train_step(cfg, tx1)
+    _, metrics1 = step1(state1, batch, step_rng)
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    state2, tx2 = step_lib.create_train_state(jax.random.PRNGKey(1), cfg,
+                                              VOCAB)
+    state2 = tp.shard_train_state(mesh, state2, tx2)
+    sh = tp.train_state_shardings(mesh, state2, tx2)
+    step2 = step_lib.make_jitted_train_step(
+        cfg, tx2, mesh=mesh, state_shardings=sh
+    )
+    _, metrics2 = step2(state2, shard_batch(mesh, batch), step_rng)
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics2["loss"]), rtol=1e-5
+    )
