@@ -27,7 +27,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import numpy as np
@@ -52,7 +51,6 @@ def main() -> None:
     from avsr_tpu.configs import (
         AudioFrontendConfig,
         DecoderConfig,
-        EncoderConfig,
         ExperimentConfig,
         FusionConfig,
         TrainConfig,
@@ -61,56 +59,36 @@ def main() -> None:
     from avsr_tpu.models.seq2seq import Batch
     from avsr_tpu.train import step as step_lib
 
-    # A/B environment knobs (perf experiments).  Flagship defaults adopt
-    # the measured round-3 winners: 256-dim value down-projection on the
-    # fusion AND decoder attention memories (47.02 -> 42.0 ms/step, the
-    # only lever that beats the value-streaming bandwidth floor; quality
-    # gated by the overfit test tests/test_train_loop.py).  Set =0 for the
+    # A/B environment knobs (perf experiments), parsed by the shared
+    # avsr_tpu.utils.bench_knobs module (see its docstring for the list).
+    # Flagship defaults adopt the measured round-3 winners: 256-dim value
+    # down-projection on the fusion AND decoder attention memories (47.02
+    # -> 42.0 ms/step, the only lever that beats the value-streaming
+    # bandwidth floor; quality gated by the overfit test
+    # tests/test_train_loop.py).  Set the VDIM knobs =0 for the
     # unprojected reference-parity model (paper dims).
-    #   AVSR_BENCH_FUSE=1            enable train.fuse_encoder_scans
-    #   AVSR_BENCH_FUSION_VDIM=N     fusion.memory_value_dim (0 = off)
-    #   AVSR_BENCH_DECODER_VDIM=N    decoder.memory_value_dim (0 = off)
-    #   AVSR_BENCH_TIME_REDUCTION=1,2,2  audio_encoder.time_reduction
-    #                                (pyramidal LAS; empty/unset = off)
-    #   AVSR_BENCH_XF=d,layers,heads  swap the audio encoder for the
-    #                                transformer option (models/
-    #                                transformer.py), e.g. 512,3,8
-    #   AVSR_BENCH_FUSION_TYPE=cross_attention  scan-free multi-head
-    #                                fusion (models/fusion.py)
-    fuse = os.environ.get("AVSR_BENCH_FUSE", "0") == "1"
-    f_vdim = int(os.environ.get("AVSR_BENCH_FUSION_VDIM", "256")) or None
-    d_vdim = int(os.environ.get("AVSR_BENCH_DECODER_VDIM", "256")) or None
-    tr_env = os.environ.get("AVSR_BENCH_TIME_REDUCTION", "")
-    time_red = tuple(int(x) for x in tr_env.split(",")) if tr_env else None
-    xf_env = os.environ.get("AVSR_BENCH_XF", "")
-    if xf_env:
-        xd, xl, xh = (int(x) for x in xf_env.split(","))
-        audio_encoder = EncoderConfig(
-            hidden_units=(xd,) * xl, encoder_type="transformer",
-            num_heads=xh, dropout_rate=0.1, time_reduction=time_red,
-        )
-    else:
-        audio_encoder = EncoderConfig(hidden_units=(256, 256, 256),
-                                      bidirectional=True, dropout_rate=0.1,
-                                      time_reduction=time_red)
+    from avsr_tpu.utils.bench_knobs import variant_from_env
 
+    var = variant_from_env()
     cfg = ExperimentConfig(
         architecture="av_align",
         audio=AudioFrontendConfig(),  # 30 mel + deltas, stack 8 skip 3
         video=VideoFrontendConfig(),
-        audio_encoder=audio_encoder,
-        video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
+        audio_encoder=var.audio_encoder,
+        video_encoder=var.video_encoder,
         fusion=FusionConfig(
-            attention_units=128, memory_value_dim=f_vdim,
-            fusion_type=os.environ.get("AVSR_BENCH_FUSION_TYPE", "av_align"),
+            attention_units=128, memory_value_dim=var.fusion_value_dim,
+            fusion_type=var.fusion_type,
         ),
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
                               attention_units=128,
                               max_label_length=LABEL_LEN,
-                              sampling_probability=0.1,
-                              memory_value_dim=d_vdim),
+                              decoder_type=var.decoder_type,
+                              sampling_probability=(
+                                  var.decoder_sampling_probability),
+                              memory_value_dim=var.decoder_value_dim),
         train=TrainConfig(compute_dtype="bfloat16",
-                          fuse_encoder_scans=fuse),
+                          fuse_encoder_scans=var.fuse_encoder_scans),
         name="bench_av_align",
     )
 

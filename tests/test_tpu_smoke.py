@@ -279,3 +279,83 @@ def test_tpu_serving_artifact():
     out = _run_on_device(_SERVE_SMOKE)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "SERVE_SMOKE_OK" in out.stdout, out.stdout
+
+
+_V2_SMOKE = r"""
+import jax, numpy as np
+assert jax.devices()[0].platform != "cpu"
+
+# The scan-free v2 family (transformer encoders + cross-attention fusion +
+# transformer decoder) is the newest compile surface: one train step and
+# one KV-cache beam decode on the real device.
+from avsr_tpu.configs import (AudioFrontendConfig, DataConfig, DecodeConfig,
+                              DecoderConfig, EncoderConfig, ExperimentConfig,
+                              FusionConfig, TrainConfig, VideoFrontendConfig)
+from avsr_tpu.data.loader import to_model_batch, BucketingLoader
+from avsr_tpu.data.synthetic import SyntheticSpec, generate
+from avsr_tpu.data.units import builtin_unit_dict
+from avsr_tpu.decode.beam import beam_search
+from avsr_tpu.models import seq2seq
+from avsr_tpu.train import step as step_lib
+
+cfg = ExperimentConfig(
+    architecture="av_align",
+    audio=AudioFrontendConfig(num_mel_bins=12, fft_length=256,
+                              frame_stacking=3, frame_skipping=3,
+                              add_deltas=False),
+    video=VideoFrontendConfig(roi_height=20, roi_width=20,
+                              conv_channels=(4, 8), embedding_dim=24),
+    audio_encoder=EncoderConfig(hidden_units=(48,),
+                                encoder_type="transformer", num_heads=4,
+                                dropout_rate=0.0),
+    video_encoder=EncoderConfig(hidden_units=(32,),
+                                encoder_type="transformer", num_heads=4,
+                                dropout_rate=0.0),
+    fusion=FusionConfig(fusion_type="cross_attention", num_heads=4,
+                        attention_units=24),
+    decoder=DecoderConfig(decoder_type="transformer", embedding_dim=16,
+                          hidden_units=(48,), num_heads=4,
+                          attention_units=24, max_label_length=8,
+                          dropout_rate=0.0),
+    data=DataConfig(batch_size=4, audio_bucket_boundaries=(60,),
+                    max_label_length=8),
+    train=TrainConfig(compute_dtype="bfloat16"),
+    decode=DecodeConfig(beam_width=2, max_decode_length=8),
+)
+units = builtin_unit_dict("character")
+data = generate(SyntheticSpec(num_utterances=4, min_chars=2, max_chars=3,
+                              seed=0, alphabet="ab", char_duration_s=0.1,
+                              roi=20))
+loader = BucketingLoader(data, units, cfg.data, require_audio=True,
+                         require_video=True,
+                         frame_step=cfg.audio.frame_step,
+                         frame_length=cfg.audio.frame_length)
+state, tx = step_lib.create_train_state(jax.random.PRNGKey(0), cfg,
+                                        units.vocab_size)
+train = step_lib.make_jitted_train_step(cfg, tx)
+_, np_batch = next(iter(loader.epoch(shuffle=False)))
+batch = to_model_batch(np_batch)
+state, metrics = train(state, batch, jax.random.PRNGKey(1))
+loss = float(metrics["loss"])  # host sync (device timing rule, CLAUDE.md)
+assert np.isfinite(loss), loss
+
+@jax.jit
+def decode(params, batch):
+    out = seq2seq.encode(params, cfg, batch, train=False)
+    return beam_search(params["decoder"], cfg.decoder, out.memories,
+                       cfg.decode.max_decode_length,
+                       beam_width=cfg.decode.beam_width,
+                       compute_dtype=seq2seq.compute_dtype_of(cfg)).ids
+ids = np.asarray(decode(state.params, batch))
+assert ids.shape[0] == batch.audio.shape[0]
+print("V2_SMOKE_OK loss", loss)
+"""
+
+
+def test_tpu_v2_scanfree_train_and_decode():
+    """The v2 family's train + KV-cache beam programs compile and run on
+    the real device (the CPU suite proves numerics; this proves the TPU
+    lowering of the newest model family)."""
+    out = _run_on_device(_V2_SMOKE)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "V2_SMOKE_OK" in out.stdout, out.stdout

@@ -85,3 +85,32 @@ def test_peak_flops_lookup():
         device_kind = "TPU v5 lite"
 
     assert peak_flops_of(Fake()) > 1e14
+
+
+def test_bench_knobs_flagship_and_v2(monkeypatch):
+    from avsr_tpu.utils.bench_knobs import variant_from_env
+
+    for k in list(__import__("os").environ):
+        if k.startswith("AVSR_BENCH_"):
+            monkeypatch.delenv(k)
+    v = variant_from_env()
+    assert v.fusion_value_dim == 256 and v.decoder_value_dim == 256
+    assert v.fusion_type == "av_align" and v.decoder_type == "rnn"
+    assert v.audio_encoder.hidden_units == (256, 256, 256)
+    assert v.audio_encoder.bidirectional
+    assert v.decoder_sampling_probability == 0.1
+
+    monkeypatch.setenv("AVSR_BENCH_XF", "512,3,8")
+    monkeypatch.setenv("AVSR_BENCH_XF_VIDEO", "512,1,8")
+    monkeypatch.setenv("AVSR_BENCH_FUSION_TYPE", "cross_attention")
+    monkeypatch.setenv("AVSR_BENCH_DECODER_TYPE", "transformer")
+    monkeypatch.setenv("AVSR_BENCH_FUSION_VDIM", "0")
+    monkeypatch.setenv("AVSR_BENCH_TIME_REDUCTION", "1,2")
+    v2 = variant_from_env()
+    assert v2.audio_encoder.encoder_type == "transformer"
+    assert v2.audio_encoder.num_heads == 8
+    assert v2.audio_encoder.time_reduction == (1, 2)
+    assert v2.video_encoder.hidden_units == (512,)
+    assert v2.fusion_value_dim is None
+    # scheduled sampling is rejected by the transformer decoder
+    assert v2.decoder_sampling_probability == 0.0

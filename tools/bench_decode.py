@@ -3,6 +3,10 @@
 Protocol (BASELINE.md §C): single-utterance batched decode, width-10 beam,
 p50 over many decodes after compilation.  Usage:
     python tools/bench_decode.py [batch_size]
+
+Honors the shared AVSR_BENCH_* model-variant knobs
+(avsr_tpu/utils/bench_knobs.py), e.g. AVSR_BENCH_DECODER_TYPE=transformer
+to time the v2 KV-cache decode path.
 """
 
 import json
@@ -20,28 +24,33 @@ def main():
     import jax.numpy as jnp
 
     from avsr_tpu.configs import (
-        AudioFrontendConfig, DecodeConfig, DecoderConfig, EncoderConfig,
+        AudioFrontendConfig, DecodeConfig, DecoderConfig,
         ExperimentConfig, FusionConfig, TrainConfig, VideoFrontendConfig,
     )
     from avsr_tpu.decode.beam import beam_search
     from avsr_tpu.models import seq2seq
     from avsr_tpu.models.seq2seq import Batch
 
+    from avsr_tpu.utils.bench_knobs import variant_from_env
+
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     S, VF, K = 96000, 150, 48
+    var = variant_from_env()
     cfg = ExperimentConfig(
         architecture="av_align",
         audio=AudioFrontendConfig(),
         video=VideoFrontendConfig(),
-        audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
-                                    bidirectional=True),
-        video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
+        audio_encoder=var.audio_encoder,
+        video_encoder=var.video_encoder,
         # flagship value down-projection (bench.py round-3 default; set the
-        # AVSR_BENCH_*VDIM env knobs there for the reference-dims model)
-        fusion=FusionConfig(attention_units=128, memory_value_dim=256),
+        # AVSR_BENCH_*VDIM env knobs for the reference-dims model)
+        fusion=FusionConfig(attention_units=128,
+                            memory_value_dim=var.fusion_value_dim,
+                            fusion_type=var.fusion_type),
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
                               attention_units=128, max_label_length=K,
-                              memory_value_dim=256),
+                              decoder_type=var.decoder_type,
+                              memory_value_dim=var.decoder_value_dim),
         decode=DecodeConfig(beam_width=10, max_decode_length=K),
         train=TrainConfig(compute_dtype="bfloat16"),
     )

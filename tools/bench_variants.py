@@ -11,7 +11,8 @@ to the reference-parity flagship:
   time_reduction    audio pyramid (1,2,2) — LAS subsampling
   xf_encoder        transformer audio encoder (512x3, 8 heads)
   xa_fusion         scan-free cross-attention fusion
-  v2_scanfree       transformer encoder + cross-attention fusion
+  v2_scanfree       the full scan-free family: transformer audio+video
+                    encoders + cross-attention fusion + transformer decoder
 
 Usage: python tools/bench_variants.py [arm ...]   (default: all)
 Each arm is a full bench.py run: ~4 min steady state plus a remote
@@ -34,7 +35,9 @@ ARMS = {
     "xf_encoder": {"AVSR_BENCH_XF": "512,3,8"},
     "xa_fusion": {"AVSR_BENCH_FUSION_TYPE": "cross_attention"},
     "v2_scanfree": {"AVSR_BENCH_XF": "512,3,8",
-                    "AVSR_BENCH_FUSION_TYPE": "cross_attention"},
+                    "AVSR_BENCH_XF_VIDEO": "512,1,8",
+                    "AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                    "AVSR_BENCH_DECODER_TYPE": "transformer"},
 }
 
 PER_ARM_TIMEOUT_S = 40 * 60

@@ -86,6 +86,23 @@ def main():
             decoder=dataclasses.replace(cfg_for("av_align").decoder,
                                         memory_value_dim=48),
         ),
+        # the scan-free v2 family (lrs2_av_v2's architecture at these tiny
+        # dims): the same paper-behavior bar applies to the opt-in family
+        "av_align_v2": dataclasses.replace(
+            cfg_for("av_align"),
+            audio_encoder=EncoderConfig(
+                hidden_units=(48,), encoder_type="transformer", num_heads=4,
+                dropout_rate=0.0),
+            video_encoder=EncoderConfig(
+                hidden_units=(32,), encoder_type="transformer", num_heads=4,
+                dropout_rate=0.0),
+            fusion=FusionConfig(fusion_type="cross_attention", num_heads=4,
+                                attention_units=24),
+            decoder=DecoderConfig(decoder_type="transformer",
+                                  embedding_dim=16, hidden_units=(48,),
+                                  num_heads=4, attention_units=24,
+                                  max_label_length=8, dropout_rate=0.0),
+        ),
     }
     results = {}
     for name, cfg in variants.items():
@@ -108,7 +125,7 @@ def main():
     a = summary["audio"]
     noisy_conds = ["0dB", "-5dB"]
     failed = False
-    for name in ("av_align", "av_align_vdim"):
+    for name in ("av_align", "av_align_vdim", "av_align_v2"):
         av = summary[name]
         av_better = sum(av[c] <= a[c] + 0.02 for c in noisy_conds)
         print(f"# {name} <= audio-only (±0.02) on "
