@@ -14,9 +14,12 @@ to the reference-parity flagship:
   v2_scanfree       the full scan-free family: transformer audio+video
                     encoders + cross-attention fusion + transformer decoder
 
-Usage: python tools/bench_variants.py [arm ...]   (default: all)
+Usage: python tools/bench_variants.py [arm ...]   (default: all, ordered
+new-information-first so a short TPU window still yields the novel arms).
 Each arm is a full bench.py run: ~4 min steady state plus a remote
-compile that can take 2-15+ min per new program shape.
+compile that can take 2-15+ min per new program shape.  Results MERGE
+into BENCH_variants.json by arm name (a partial re-run updates only the
+arms it ran), so the sweep survives flaky device windows.
 """
 
 from __future__ import annotations
@@ -28,16 +31,18 @@ import sys
 import time
 
 ARMS = {
-    "flagship": {},
-    "reference_dims": {"AVSR_BENCH_FUSION_VDIM": "0",
-                       "AVSR_BENCH_DECODER_VDIM": "0"},
-    "time_reduction": {"AVSR_BENCH_TIME_REDUCTION": "1,2,2"},
-    "xf_encoder": {"AVSR_BENCH_XF": "512,3,8"},
-    "xa_fusion": {"AVSR_BENCH_FUSION_TYPE": "cross_attention"},
+    # ordered by information value: unmeasured arms first (flagship and
+    # reference_dims are already pinned at 42.0 / 47.0 ms in RESULTS.md)
     "v2_scanfree": {"AVSR_BENCH_XF": "512,3,8",
                     "AVSR_BENCH_XF_VIDEO": "512,1,8",
                     "AVSR_BENCH_FUSION_TYPE": "cross_attention",
                     "AVSR_BENCH_DECODER_TYPE": "transformer"},
+    "time_reduction": {"AVSR_BENCH_TIME_REDUCTION": "1,2,2"},
+    "xf_encoder": {"AVSR_BENCH_XF": "512,3,8"},
+    "xa_fusion": {"AVSR_BENCH_FUSION_TYPE": "cross_attention"},
+    "flagship": {},
+    "reference_dims": {"AVSR_BENCH_FUSION_VDIM": "0",
+                       "AVSR_BENCH_DECODER_VDIM": "0"},
 }
 
 PER_ARM_TIMEOUT_S = 40 * 60
@@ -46,7 +51,11 @@ PER_ARM_TIMEOUT_S = 40 * 60
 def main() -> int:
     names = sys.argv[1:] or list(ARMS)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    results = []
+    out_path = os.path.join(root, "BENCH_variants.json")
+    by_arm = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            by_arm = {r["arm"]: r for r in json.load(f)}
     for name in names:
         env = dict(os.environ, **ARMS[name])
         t0 = time.time()
@@ -73,13 +82,14 @@ def main() -> int:
             rec = {"arm": name, "env": ARMS[name],
                    "error": f"timeout after {PER_ARM_TIMEOUT_S}s"}
         print(json.dumps(rec), flush=True)
-        results.append(rec)
-        with open(os.path.join(root, "BENCH_variants.json"), "w") as f:
-            json.dump(results, f, indent=1)
-    ok = [r for r in results if "error" not in r]
-    print(f"[bench_variants] {len(ok)}/{len(results)} arms ok "
-          f"-> BENCH_variants.json", flush=True)
-    return 0 if len(ok) == len(results) else 1
+        by_arm[name] = rec
+        with open(out_path, "w") as f:
+            json.dump(list(by_arm.values()), f, indent=1)
+    ran = [by_arm[n] for n in names]
+    ok = [r for r in ran if "error" not in r]
+    print(f"[bench_variants] {len(ok)}/{len(ran)} arms ok "
+          f"-> BENCH_variants.json ({len(by_arm)} arms on file)", flush=True)
+    return 0 if len(ok) == len(ran) else 1
 
 
 if __name__ == "__main__":
