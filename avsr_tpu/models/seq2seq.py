@@ -319,8 +319,12 @@ def encode(
 
 
 def prep(dec_cfg, params, idx, memory, lengths, cdt) -> attn.AttentionMemory:
+    # The transformer decoder's memories are value-only (it computes its
+    # own multi-head scores; see transformer_decoder_init).
+    att_type = ("value_only" if dec_cfg.decoder_type == "transformer"
+                else dec_cfg.attention_type)
     return attn.prepare_memory(
-        dec_cfg.attention_type, params["decoder"]["atts"][idx],
+        att_type, params["decoder"]["atts"][idx],
         memory, lengths, compute_dtype=cdt,
     )
 

@@ -30,6 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from avsr_tpu.configs import EncoderConfig
+from avsr_tpu.models.transformer_common import (
+    inverted_dropout as _dropout,
+    layer_norm as _layer_norm,
+    sinusoidal_pe,
+)
 from avsr_tpu.utils.params import Params, glorot_uniform
 
 __all__ = [
@@ -53,6 +58,11 @@ def validate_transformer_config(cfg: EncoderConfig) -> int:
         raise ValueError(
             f"hidden dim {d} not divisible by num_heads {cfg.num_heads}"
         )
+    if d % 2:
+        raise ValueError(
+            f"hidden dim {d} must be even (sinusoidal position encodings "
+            "interleave sin/cos pairs)"
+        )
     for knob in ("residual", "highway", "layer_norm"):
         if getattr(cfg, knob):
             raise ValueError(
@@ -69,14 +79,7 @@ def validate_transformer_config(cfg: EncoderConfig) -> int:
 
 def _sinusoidal_pe(T: int, d: int) -> jnp.ndarray:
     """[T, 1, d] absolute sinusoidal position encodings (fp32)."""
-    pos = np.arange(T, dtype=np.float32)[:, None]
-    half = d // 2
-    freq = np.exp(-np.log(10000.0) * np.arange(half, dtype=np.float32) / half)
-    ang = pos * freq[None, :]
-    pe = np.zeros((T, d), np.float32)
-    pe[:, 0::2] = np.sin(ang)
-    pe[:, 1::2] = np.cos(ang[:, : d - half])
-    return jnp.asarray(pe)[:, None, :]
+    return sinusoidal_pe(T, d)[:, None, :]
 
 
 def transformer_encoder_init(
@@ -119,20 +122,6 @@ def transformer_encoder_init(
                                            dtype)
         params["layers"].append(layer)
     return params
-
-
-def _layer_norm(x: jnp.ndarray, scale, bias) -> jnp.ndarray:
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-    y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
-    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-
-
-def _dropout(x, rate, rng):
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 def transformer_encoder_apply(

@@ -31,6 +31,11 @@ import numpy as np
 
 from avsr_tpu.configs import DecoderConfig
 from avsr_tpu.data.units import GO_ID
+from avsr_tpu.models.transformer_common import (
+    inverted_dropout as _dropout,
+    layer_norm as _layer_norm,
+    sinusoidal_pe as _sinusoidal_pe,
+)
 from avsr_tpu.ops import attention as attn
 from avsr_tpu.utils.params import Params, glorot_uniform, normal_init
 
@@ -57,6 +62,11 @@ def validate_transformer_decoder_config(
     if d % cfg.num_heads != 0:
         raise ValueError(
             f"decoder dim {d} not divisible by num_heads {cfg.num_heads}"
+        )
+    if d % 2:
+        raise ValueError(
+            f"decoder dim {d} must be even (sinusoidal position encodings "
+            "interleave sin/cos pairs)"
         )
     for m in ctx_dims:
         if m % cfg.num_heads != 0:
@@ -100,16 +110,15 @@ def transformer_decoder_init(
         "out_w": glorot_uniform(keys[2], (d, vocab_size), dtype),
         "out_b": jnp.zeros((vocab_size,), dtype),
         # Same prepared-memory path as the RNN decoder (seq2seq.prep /
-        # attn.prepare_memory): these params carry the value
-        # down-projection; their Bahdanau key projection goes unused here.
+        # attn.prepare_memory), but value-only: the transformer computes
+        # its own multi-head cross scores, so no Bahdanau/Luong score
+        # params are created (they would sit dead in the checkpoint).
         "atts": [],
     }
     att_keys = jax.random.split(keys[3], len(memory_dims))
     for k, m in zip(att_keys, memory_dims):
         params["atts"].append(
-            attn.attention_init(cfg.attention_type, k, d, m,
-                                cfg.attention_units, dtype,
-                                value_dim=cfg.memory_value_dim)
+            attn.value_only_init(k, m, cfg.memory_value_dim, dtype)
         )
     ff = cfg.ff_multiplier * d
     for i in range(n_layers):
@@ -138,31 +147,6 @@ def transformer_decoder_init(
         }
         params["layers"].append(layer)
     return params
-
-
-def _layer_norm(x, scale, bias):
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-    y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
-    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-
-
-def _sinusoidal_pe(L: int, d: int) -> jnp.ndarray:
-    pos = np.arange(L, dtype=np.float32)[:, None]
-    half = d // 2
-    freq = np.exp(-np.log(10000.0) * np.arange(half, dtype=np.float32) / half)
-    ang = pos * freq[None, :]
-    pe = np.zeros((L, d), np.float32)
-    pe[:, 0::2] = np.sin(ang)
-    pe[:, 1::2] = np.cos(ang[:, : d - half])
-    return jnp.asarray(pe)
-
-
-def _dropout(x, rate, rng):
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 def prepare_cross(

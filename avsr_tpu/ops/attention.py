@@ -57,6 +57,19 @@ def luong_init(key, query_dim: int, memory_dim: int, attention_units: int = 0,
     return params
 
 
+def value_only_init(key, memory_dim: int, value_dim: Optional[int],
+                    dtype=jnp.float32) -> Params:
+    """Attention-memory params for consumers that use only the VALUES —
+    the transformer decoder computes its own multi-head scores, so its
+    memories carry just the optional value down-projection (no
+    Bahdanau/Luong score params, which would otherwise sit dead in the
+    checkpoint and the optimizer state)."""
+    params: Params = {}
+    if value_dim is not None:
+        params["wv"] = glorot_uniform(key, (memory_dim, value_dim), dtype)
+    return params
+
+
 def attention_init(attention_type: str, key, query_dim: int, memory_dim: int,
                    attention_units: int, dtype=jnp.float32,
                    value_dim: Optional[int] = None) -> Params:
@@ -92,7 +105,8 @@ def prepare_memory(
             params["wm"].astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
-    else:  # luong: keys are the raw memory
+    else:  # luong / value_only: keys are the raw memory (value_only
+        # consumers never read mem.keys — XLA dead-code-eliminates it)
         keys = memory
     values = memory
     if "wv" in params:

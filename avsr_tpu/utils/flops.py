@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Dict
 
 from avsr_tpu.configs import ExperimentConfig
+from avsr_tpu.models.encoder import encoder_output_dim
 
 
 def _lstm_flops(batch: int, steps: int, input_dim: int, hidden: int) -> float:
@@ -134,11 +135,7 @@ def train_step_flops(
             cfg.video_encoder, batch, video_frames, cfg.video.embedding_dim
         )
         comps["video_encoder"] = {"fwd": venc_flops, "factor": 3.0}
-        from avsr_tpu.models.encoder import encoder_output_dim
-
         video_out = encoder_output_dim(cfg.video_encoder)
-
-    from avsr_tpu.models.encoder import encoder_output_dim
 
     audio_out = encoder_output_dim(cfg.audio_encoder)
 
@@ -189,6 +186,12 @@ def train_step_flops(
         D = d.hidden_units[0]
         qk = d.attention_units * d.num_heads
         K = label_len
+        if d.memory_value_dim:
+            # prepare_memory's one-time value down-projection (the RNN
+            # branch counts the identical matmul via _attention_flops).
+            for m_dim, c_dim, m_len in zip(memory_dims, ctx_dims,
+                                           memory_lens):
+                dec += 2.0 * batch * m_len * m_dim * c_dim
         dec += 2.0 * batch * K * d.embedding_dim * D  # input projection
         for _ in d.hidden_units:
             dec += 4 * 2.0 * batch * K * D * D          # self qkv + out

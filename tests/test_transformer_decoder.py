@@ -32,8 +32,10 @@ def _mem(params, cfg, seed=0, B=2, S=3, H=6):
     rng = np.random.default_rng(seed)
     memory = jnp.asarray(rng.standard_normal((B, S, H)).astype(np.float32))
     lengths = jnp.asarray([S, S - 1], jnp.int32)
+    # Transformer-decoder memories are value-only (seq2seq.prep routes
+    # "value_only" for this family; no Bahdanau score params exist).
     return attn.prepare_memory(
-        cfg.attention_type, params["atts"][0], memory, lengths,
+        "value_only", params["atts"][0], memory, lengths,
         compute_dtype=jnp.float32,
     )
 
@@ -59,6 +61,19 @@ def test_validation():
             jax.random.PRNGKey(0),
             dataclasses.replace(TCFG, decoder_type="ngram"), [6], V,
         )
+
+
+def test_atts_params_are_value_only():
+    """No dead Bahdanau/Luong score params in transformer-decoder
+    checkpoints: atts carry only the optional value down-projection."""
+    p = dec.decoder_init(jax.random.PRNGKey(0), TCFG, [6], V)
+    assert p["atts"] == [{}]
+    p = dec.decoder_init(
+        jax.random.PRNGKey(0),
+        dataclasses.replace(TCFG, memory_value_dim=4), [6], V,
+    )
+    assert list(p["atts"][0]) == ["wv"]
+    assert p["atts"][0]["wv"].shape == (6, 4)
 
 
 def test_parallel_teacher_forcing_equals_sequential_decode():

@@ -56,8 +56,13 @@ def main() -> int:
     if os.path.exists(out_path):
         with open(out_path) as f:
             by_arm = {r["arm"]: r for r in json.load(f)}
+    # Arms must not inherit stray AVSR_BENCH_* vars from the caller's
+    # shell: each arm's knob set is its COMPLETE variant definition, and a
+    # leaked knob would mislabel every arm that doesn't override it.
+    base_env = {k: v for k, v in os.environ.items()
+                if not k.startswith("AVSR_BENCH_")}
     for name in names:
-        env = dict(os.environ, **ARMS[name])
+        env = dict(base_env, **ARMS[name])
         t0 = time.time()
         print(f"[bench_variants] {name}: {ARMS[name]}", flush=True)
         try:
