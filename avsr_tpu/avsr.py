@@ -229,12 +229,10 @@ class AVSR:
         try_restore_latest_checkpoint: bool = False,
     ) -> Dict[str, float]:
         if logfile:
-            from avsr_tpu.utils.logging import MetricsLogger
-
-            self.trainer.logger = MetricsLogger(
-                self.trainer.run_dir, logfile,
-                tensorboard=self.trainer.cfg.train.tensorboard,
-            )
+            # Attach to the Trainer's existing logger — constructing a
+            # second MetricsLogger would leak the first one's open
+            # metrics.jsonl / TensorBoard event files.
+            self.trainer.logger.add_logfile(logfile)
         return self.trainer.train(
             num_epochs,
             try_restore_latest_checkpoint=try_restore_latest_checkpoint,

@@ -265,19 +265,40 @@ class Predictor:
         lengths = np.zeros((B,), np.int32)
         for i, s in enumerate(seqs):
             s = np.asarray(s)
-            if s.shape[0] > S:
-                raise ValueError(
-                    f"{name} input {i} has {s.shape[0]} steps; exported "
-                    f"horizon is {S} — export a longer bucket"
-                )
-            if s.shape[1:] != shape[2:]:
-                raise ValueError(
-                    f"{name} input {i} trailing shape {s.shape[1:]} != "
-                    f"exported {shape[2:]}"
-                )
-            out[i, : s.shape[0]] = self._quantize(name, s, dtype)
+            out[i, : s.shape[0]] = self._check_and_quantize(
+                name, i, s, shape, dtype
+            )
             lengths[i] = s.shape[0]
         return out, lengths
+
+    def _check_and_quantize(self, name, i, s, shape, dtype):
+        """Everything _pad_batch rejects for ONE utterance (horizon,
+        trailing shape, quantize range)."""
+        if s.shape[0] > shape[1]:
+            raise ValueError(
+                f"{name} input {i} has {s.shape[0]} steps; exported "
+                f"horizon is {shape[1]} — export a longer bucket"
+            )
+        if s.shape[1:] != shape[2:]:
+            raise ValueError(
+                f"{name} input {i} trailing shape {s.shape[1:]} != "
+                f"exported {shape[2:]}"
+            )
+        return self._quantize(name, s, dtype)
+
+    def validate_utterance(self, audio=None, video=None) -> None:
+        """Raise the error _pad_batch would raise for this single
+        utterance (horizon, trailing shape, quantize range).  Serving
+        hosts call this at SUBMIT time so one client's bad input fails
+        its own request instead of poisoning a coalesced batch."""
+        for name, s in (("audio", audio), ("video", video)):
+            if s is None or name not in self._inputs:
+                continue
+            spec = self._inputs[name]
+            s = np.asarray(s)
+            self._check_and_quantize(
+                name, 0, s, tuple(spec["shape"]), spec["dtype"]
+            )
 
     @staticmethod
     def _quantize(name: str, s: np.ndarray, dtype: str) -> np.ndarray:
@@ -286,13 +307,22 @@ class Predictor:
         if dtype == "int16":
             if np.issubdtype(s.dtype, np.integer):
                 return s.astype(np.int16)
-            peak = float(np.abs(s).max()) if s.size else 0.0
-            if peak > 1.0 + 1e-6:
+            lo = float(s.min()) if s.size else 0.0
+            hi = float(s.max()) if s.size else 0.0
+            # Same bound as the training loader's compact transfer
+            # (data/loader.py): full-scale 16-bit PCM spans
+            # [-32768/32767, 1] after load_wav's /32767, so a clipped
+            # recording's most-negative sample is a VALID request.
+            if lo < -32768.0 / 32767.0 - 1e-6 or hi > 1.0 + 1e-6:
                 raise ValueError(
-                    f"{name} request peaks at {peak:.3f}; compact artifacts "
-                    "expect waveforms in [-1, 1] (PCM scale)"
+                    f"{name} request range [{lo:.4f}, {hi:.4f}]; compact "
+                    "artifacts expect int16-PCM-range waveforms in "
+                    "[-32768/32767, 1]"
                 )
-            return np.round(s * 32767.0).astype(np.int16)
+            return (
+                np.clip(np.round(s * 32767.0), -32768, 32767)
+                .astype(np.int16)
+            )
         if dtype == "uint8":
             if s.dtype == np.uint8:
                 return s
@@ -448,17 +478,26 @@ class BucketedPredictor:
         self.meta = self.buckets[-1].meta
 
     def _pick(self, audio, video) -> Predictor:
+        # Empty requests fall through to the single-bucket Predictor's
+        # clean "empty request" error instead of a bare max() ValueError.
+        if not audio and not video:
+            return self.buckets[0]
         for p in self.buckets:
             ok = True
-            if audio is not None and "audio" in p._inputs:
+            if audio and "audio" in p._inputs:
                 S = p._inputs["audio"]["shape"][1]
                 ok = ok and max(len(a) for a in audio) <= S
-            if video is not None and "video" in p._inputs:
+            if video and "video" in p._inputs:
                 T = p._inputs["video"]["shape"][1]
                 ok = ok and max(len(v) for v in video) <= T
             if ok:
                 return p
         return self.buckets[-1]  # overruns raise there, with the message
+
+    def validate_utterance(self, audio=None, video=None) -> None:
+        # The LARGEST bucket owns per-utterance validation: its horizon is
+        # the artifact's true limit (matching _pick's overrun fallback).
+        self.buckets[-1].validate_utterance(audio=audio, video=video)
 
     def transcribe(self, *, audio=None, video=None) -> List[str]:
         return self._pick(audio, video).transcribe(audio=audio, video=video)
@@ -578,10 +617,16 @@ def export_serving_artifact(
             },
         )
 
-    try:
-        horizons = sorted(float(s) for s in audio_seconds)  # type: ignore
-    except TypeError:
-        return one(out_dir, float(audio_seconds))
+    # Strings are scalars here, never character iterables: "10" must mean
+    # one 10 s bucket (iterating it would silently export 1s/0s buckets).
+    if isinstance(audio_seconds, str):
+        parts = [p for p in audio_seconds.split(",") if p.strip()]
+        horizons = sorted(float(p) for p in parts)
+    else:
+        try:
+            horizons = sorted(float(s) for s in audio_seconds)  # type: ignore
+        except TypeError:
+            return one(out_dir, float(audio_seconds))
     if len(horizons) == 1:
         return one(out_dir, horizons[0])
     os.makedirs(out_dir, exist_ok=True)

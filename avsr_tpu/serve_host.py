@@ -112,17 +112,27 @@ class DynamicBatcher:
         n = len(audio) if audio is not None else len(video)
         if n == 0:
             raise ValueError("empty request: no utterances")
+        # Per-utterance validation BEFORE enqueueing (horizon, trailing
+        # shape, quantize range): a bad utterance must fail ITS OWN
+        # request — once coalesced, the whole device batch would fail for
+        # every client in it.
+        rows = []
+        validate = getattr(self._pred, "validate_utterance", None)
+        for i in range(n):
+            a = None if audio is None else np.asarray(audio[i], np.float32)
+            v = None if video is None else np.asarray(video[i], np.float32)
+            if validate is not None:
+                try:
+                    validate(audio=a, video=v)
+                except ValueError as e:
+                    raise ValueError(f"utterance {i}: {e}") from e
+            rows.append((a, v))
         pendings = []
         with self._cond:
             if self._closed:
                 raise RuntimeError("batcher is closed")
-            for i in range(n):
-                p = _Pending(
-                    None if audio is None else np.asarray(
-                        audio[i], np.float32),
-                    None if video is None else np.asarray(
-                        video[i], np.float32),
-                )
+            for a, v in rows:
+                p = _Pending(a, v)
                 self._queue.append(p)
                 pendings.append(p)
             self.stats["requests"] += 1

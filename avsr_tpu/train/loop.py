@@ -165,6 +165,7 @@ class Trainer:
         # train.early_stop_patience.
         self._best_cer = float("inf")
         self._evals_since_best = 0
+        self._best_record = None
         self._load_best_record()
         self._data_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         # jitted decode/eval fns cached per cfg: evaluate() runs every epoch
@@ -402,9 +403,20 @@ class Trainer:
             with open(path) as f:
                 best = json.load(f)
             self._best_cer = float(best["cer"])
+            # Patience survives preemption: without this, every resume
+            # resets the early-stop window and a frequently-preempted
+            # plateaued run never stops.
+            self._evals_since_best = int(best.get("evals_since_best", 0))
+            self._best_record = best
             self.ckpt.set_preserved({int(best["step"])})
         except (ValueError, KeyError, OSError):
             self.logger.info(f"ignoring unreadable best record {path}")
+
+    def _write_best_record(self) -> None:
+        import json
+
+        with open(os.path.join(self.run_dir, "best.json"), "w") as f:
+            json.dump(self._best_record, f)
 
     def _update_best(self, metrics: Dict[str, float]) -> bool:
         """Track the best in-train eval CER; returns True when
@@ -418,16 +430,14 @@ class Trainer:
         if cer is None:
             return False
         if cer < self._best_cer:
-            import json
-
             self._best_cer = float(cer)
             self._evals_since_best = 0
-            best = {
+            self._best_record = {
                 "step": self._host_step, "epoch": self.epoch,
                 "cer": float(cer), "wer": float(metrics.get("wer", -1.0)),
+                "evals_since_best": 0,
             }
-            with open(os.path.join(self.run_dir, "best.json"), "w") as f:
-                json.dump(best, f)
+            self._write_best_record()
             self.ckpt.set_preserved({self._host_step})
             self.logger.info(
                 f"new best CER {cer:.4f} at step {self._host_step} "
@@ -435,6 +445,9 @@ class Trainer:
             )
             return False
         self._evals_since_best += 1
+        if getattr(self, "_best_record", None) is not None:
+            self._best_record["evals_since_best"] = self._evals_since_best
+            self._write_best_record()
         patience = self.cfg.train.early_stop_patience
         if patience and self._evals_since_best >= patience:
             self.logger.info(

@@ -120,9 +120,14 @@ def train_step(
         grad_fn = jax.value_and_grad(lf, has_aux=True)
 
         def micro_weight(mb):
-            # mirrors sequence_loss's mask: sum(min(target_lengths, K))
-            return jnp.maximum(
-                jnp.sum(jnp.minimum(mb.target_lengths, K)), 1
+            # mirrors sequence_loss's mask: sum(min(target_lengths, K)).
+            # An all-padding micro-batch (the loader pads the epoch's
+            # final short batch with zero-weight rows AT THE END, so a
+            # trailing micro can be entirely padding) must weigh 0 — a
+            # clamp to 1 here would scale grads by W/(W+k) and break the
+            # equals-full-batch-gradient contract.
+            return jnp.sum(
+                jnp.minimum(mb.target_lengths, K)
             ).astype(jnp.float32)
 
         def one(a, mb):
@@ -151,8 +156,11 @@ def train_step(
         (gsum, msum, wsum), _ = jax.lax.scan(
             body, (gsum, msum, wsum), (jnp.arange(1, accum), rest)
         )
-        grads = jax.tree_util.tree_map(lambda x: x / wsum, gsum)
-        metrics = {k: v / wsum for k, v in msum.items()}
+        # wsum == 0 only for an all-padding BATCH (never produced by the
+        # loader); guard the division anyway.
+        wsafe = jnp.maximum(wsum, 1.0)
+        grads = jax.tree_util.tree_map(lambda x: x / wsafe, gsum)
+        metrics = {k: v / wsafe for k, v in msum.items()}
 
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)

@@ -78,6 +78,19 @@ class MetricsLogger:
         self._tb.add_scalars(scalars, self._last_step, wall_time=rec["time"])
         self._tb.flush()
 
+    def add_logfile(self, logfile: str) -> None:
+        """Attach a human-readable logfile to the EXISTING logger.  The
+        Trainer already owns metrics.jsonl and the optional TensorBoard
+        writer — replacing the logger would leak both open handles and
+        split the run's TB events across two files."""
+        path = os.path.abspath(logfile)
+        for h in self._log.handlers:
+            if getattr(h, "baseFilename", None) == path:
+                return  # already attached (train() called twice)
+        fh = logging.FileHandler(logfile)
+        fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+        self._log.addHandler(fh)
+
     def info(self, msg: str) -> None:
         self._log.info(msg)
 

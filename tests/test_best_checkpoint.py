@@ -101,6 +101,26 @@ def test_best_without_file_fails_loudly(tmp_path):
         av._resolve_checkpoint_step("best")
 
 
+def test_patience_counter_survives_resume(tmp_path):
+    """The early-stop window must not reset on preemption: best.json
+    carries evals_since_best, and a resumed Trainer restores it."""
+    av = _make(tmp_path)
+    _script_evals(av.trainer, [0.3, 0.5])  # improve, then plateau
+    av.train(num_epochs=2)
+    assert av.trainer._evals_since_best == 1
+    with open(os.path.join(av.trainer.run_dir, "best.json")) as f:
+        assert json.load(f)["evals_since_best"] == 1
+    data = generate(SyntheticSpec(num_utterances=4, seed=0, alphabet="ab"))
+    av2 = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "run"), train_utterances=data,
+        eval_utterances=data,
+    )
+    assert av2.trainer._evals_since_best == 1
+
+
 def test_resume_reloads_best_tracker(tmp_path):
     av = _make(tmp_path)
     _script_evals(av.trainer, [0.5, 0.3])

@@ -27,6 +27,39 @@ def _no_stochastic(cfg):
     )
 
 
+def test_accum_with_all_padding_trailing_micro(rng):
+    """The loader pads an epoch's final short batch with zero-weight rows
+    AT THE END, so with accum a whole trailing micro-batch can be padding.
+    Its weight must be 0 (a clamp to 1 scales the gradient by W/(W+1))."""
+    cfg = _no_stochastic(tiny_config("audio"))
+    B = 8
+    batch = tiny_batch("audio", rng, B=B)
+    tl = np.array([2, 5, 3, 6, 0, 0, 0, 0], np.int32)  # micros 3+4 empty
+    batch = batch._replace(
+        audio_lengths=jnp.full((B,), batch.audio.shape[1], jnp.int32),
+        target_lengths=jnp.asarray(tl),
+    )
+
+    state1, tx = step_lib.create_train_state(jax.random.PRNGKey(0), cfg, VOCAB)
+    new1, m1 = step_lib.make_jitted_train_step(cfg, tx)(
+        state1, batch, jax.random.PRNGKey(7)
+    )
+    state2, tx2 = step_lib.create_train_state(jax.random.PRNGKey(0), cfg, VOCAB)
+    new2, m2 = step_lib.make_jitted_train_step(cfg, tx2, accum=4)(
+        state2, batch, jax.random.PRNGKey(7)
+    )
+    np.testing.assert_allclose(
+        float(m1["ce_loss"]), float(m2["ce_loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new1.params),
+        jax.tree_util.tree_leaves(new2.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+
+
 @pytest.mark.parametrize("arch", ["audio", "av_align"])
 def test_accum_matches_full_batch(rng, arch):
     cfg = _no_stochastic(tiny_config(arch))

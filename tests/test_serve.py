@@ -104,8 +104,13 @@ def test_compact_wire_rejects_out_of_range(tmp_path, data):
         audio_seconds=0.4,
     )
     pred = Predictor.load(out)
-    with pytest.raises(ValueError, match=r"\[-1, 1\]"):
+    with pytest.raises(ValueError, match="int16-PCM-range"):
         pred.transcribe(audio=[np.full(1600, 2.5, np.float32)])
+    # ...but full-scale 16-bit PCM is valid: a clipped recording's most
+    # negative sample is -32768/32767 after load_wav's /32767 (the same
+    # bound the training loader's compact transfer accepts).
+    full_scale = np.full(1600, -32768.0 / 32767.0, np.float32)
+    assert pred.transcribe(audio=[full_scale])
 
 
 def test_float32_transfer_export(tmp_path, data):

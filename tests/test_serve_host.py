@@ -91,9 +91,12 @@ def test_batcher_delivers_errors_and_keeps_serving(artifact):
     path, wavs, _ = artifact
     batcher = DynamicBatcher(Predictor.load(path), max_wait_ms=1.0)
     try:
-        with pytest.raises(ValueError):
-            # out-of-range audio: the compact wire rejects it
-            batcher.submit_many(audio=[np.full(800, 2.5, np.float32)])
+        # out-of-range audio is rejected at SUBMIT time, per utterance —
+        # before it can coalesce with (and fail) other clients' requests
+        with pytest.raises(ValueError, match="utterance 1"):
+            batcher.submit_many(
+                audio=[wavs[0], np.full(800, 2.5, np.float32)]
+            )
         # the worker survives and serves the next request
         assert batcher.submit_many(audio=[wavs[0]])
     finally:

@@ -26,7 +26,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TOOLS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_TOOLS))
+sys.path.insert(0, _TOOLS)  # for the shared bench_serving timing routine
 
 
 def main():
@@ -90,16 +92,11 @@ def main():
         for _ in range(B)
     ]
 
-    t0 = time.perf_counter()
-    pred.transcribe(audio=wavs, video=vids)  # list return = full host sync
-    cold_s = time.perf_counter() - t0
+    from bench_serving import time_requests  # shared timing protocol
 
-    times = []
-    for _ in range(30):
-        t0 = time.perf_counter()
-        pred.transcribe(audio=wavs, video=vids)
-        times.append(time.perf_counter() - t0)
-    times.sort()
+    cold_s, times = time_requests(
+        pred, {"audio": wavs, "video": vids}, 30
+    )
     p50 = times[len(times) // 2]
     print(json.dumps({
         "metric": "p50_serving_request_latency",

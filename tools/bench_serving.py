@@ -24,6 +24,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def time_requests(pred, kwargs, iters: int):
+    """Shared request-timing protocol (also used by tools/bench_serve.py):
+    one drained cold call, then sorted warm times.  transcribe returns a
+    list of host strings, so every call ends in a true host sync
+    (CLAUDE.md TPU timing rule)."""
+    t0 = time.time()
+    pred.transcribe(**kwargs)
+    first = time.time() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        pred.transcribe(**kwargs)
+        times.append(time.time() - t0)
+    times.sort()
+    return first, times
+
+
 def main() -> int:
     path = sys.argv[1]
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
@@ -50,15 +67,7 @@ def main() -> int:
                 np.clip(rng.rand(*shp), 0, 1).astype(np.float32)
                 for _ in range(B)
             ]
-        t0 = time.time()
-        p.transcribe(**kwargs)
-        first = time.time() - t0
-        times = []
-        for _ in range(iters):
-            t0 = time.time()
-            p.transcribe(**kwargs)
-            times.append(time.time() - t0)
-        times.sort()
+        first, times = time_requests(p, kwargs, iters)
         p50 = times[len(times) // 2]
         results.append({
             "audio_seconds": p.meta.get("audio_seconds"),
