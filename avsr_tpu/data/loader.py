@@ -100,6 +100,7 @@ class BucketingLoader:
         self.seed = cfg.seed if seed is None else seed
         self._epoch = 0
         self._warned_oov = False
+        self._warned_truncation = False
         self._video_sig: Optional[Tuple[str, Tuple[int, ...]]] = None
         self._bucket_shapes = self._compute_bucket_shapes()
 
@@ -200,10 +201,18 @@ class BucketingLoader:
                 wlen = len(u.waveform) if u.waveform is not None else 0
                 length = max((wlen - self.frame_length) // self.frame_step + 1, 1)
             else:
-                length = (
+                vlen = (
                     u.video.shape[0] if u.video is not None
                     else (u.au.shape[0] if u.au is not None else 0)
                 )
+                # Boundaries are in 100 Hz audio-frame units; video/AU
+                # streams run at cfg.video_fps.  Convert to the boundary
+                # timescale so the chosen bucket's video capacity
+                # (ceil(b*fps/100)+1, _compute_bucket_shapes) fits the
+                # utterance — comparing raw 25 Hz frame counts against
+                # 100 Hz boundaries would land long videos in buckets
+                # that hold a quarter of their frames.
+                length = int(np.ceil(vlen * 100.0 / self.cfg.video_fps))
             b = _bucket_for(int(length), self.cfg.audio_bucket_boundaries)
             buckets.setdefault(b, []).append(u)
             if len(buckets[b]) == self.batch_size_for(b):
@@ -223,6 +232,21 @@ class BucketingLoader:
                 yield self.utts[int(idx)]
             return
         yield from _parallel_fetch(self.utts, order, self.cfg.num_workers)
+
+    def _warn_truncation(self, kind: str, uid: str, have: int, cap: int):
+        """An utterance longer than the LAST bucket boundary is clipped to
+        that bucket's capacity — the model never sees the tail while eval
+        scores the full reference.  Loud (once): this looks exactly like
+        model error otherwise.  Fix: extend audio_bucket_boundaries."""
+        if self._warned_truncation:
+            return
+        self._warned_truncation = True
+        _log.warning(
+            "utterance %r: %s length %d exceeds the largest bucket's "
+            "capacity %d and is TRUNCATED (further truncations not "
+            "logged); extend data.audio_bucket_boundaries to cover the "
+            "corpus", uid, kind, have, cap,
+        )
 
     def _assemble(
         self, bucket: int, batch_utts: List[Utterance],
@@ -247,6 +271,8 @@ class BucketingLoader:
             for j, u in enumerate(batch_utts):
                 w = u.waveform
                 n = min(len(w), S)
+                if len(w) > S:
+                    self._warn_truncation("audio", u.uid, len(w), S)
                 wav[j, :n] = w[:n]
                 wlen[j] = n
             if self.cfg.transfer_dtype == "compact":
@@ -278,6 +304,8 @@ class BucketingLoader:
                 for j, u in enumerate(batch_utts):
                     v = u.video
                     n = min(v.shape[0], T)
+                    if v.shape[0] > T:
+                        self._warn_truncation("video", u.uid, v.shape[0], T)
                     vid[j, :n] = v[:n]
                     vlen[j] = n
                 if self.cfg.transfer_dtype == "compact":
@@ -310,11 +338,18 @@ class BucketingLoader:
                         // self.frame_step + 1, 1)
             T_a = max((T_raw - stack) // skip + 1, 1)
             au_t = np.zeros((B, T_a, self.au_dim), np.float32)
+            # 1.0 = row contributes to the AU loss.  Repeated padding rows
+            # and au=None utterances must weigh 0 — their all-zero targets
+            # would otherwise regress AU predictions toward 0 at full
+            # weight (the CE loss already excludes them via tlen=0).
+            au_w = np.zeros((B,), np.float32)
+            n_eff = n_real if n_real is not None else B
             feat_rate = 100.0 / skip  # stacked-feature frames per second
             for j, u in enumerate(batch_utts):
                 au = u.au
-                if au is None:
+                if au is None or j >= n_eff:
                     continue
+                au_w[j] = 1.0
                 wlen = len(u.waveform) if u.waveform is not None else 0
                 n_aud = max(
                     ((min(wlen, shape.audio_samples)
@@ -327,6 +362,7 @@ class BucketingLoader:
                     )
                     au_t[j, t, : au.shape[1]] = au[v_idx, : self.au_dim]
             out["au_targets"] = au_t
+            out["au_row_weights"] = au_w
 
         K = shape.label_len
         tgt = np.zeros((B, K), np.int32)
@@ -463,5 +499,6 @@ def to_model_batch(np_batch: NumpyBatch):
         targets=np_batch.get("targets"),
         target_lengths=np_batch.get("target_lengths"),
         au_targets=np_batch.get("au_targets"),
+        au_row_weights=np_batch.get("au_row_weights"),
         uid_hashes=np_batch.get("uid_hashes"),
     )

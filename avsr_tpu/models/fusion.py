@@ -262,14 +262,20 @@ def au_regression_loss(
     au_pred: jnp.ndarray,
     au_target: jnp.ndarray,
     audio_lengths: jnp.ndarray,
+    row_weights: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Masked MSE between predicted and target action units.
 
     au_pred/au_target: [T_a, B, au_dim]; targets are video AU values mapped
     to the audio frame rate by the data pipeline (nearest-frame mapping).
+    ``row_weights`` [B] excludes rows with no real AU stream (the loader's
+    repeated padding rows and au=None utterances) — without it their
+    all-zero targets would regress predictions toward 0 at full weight.
     """
     T_a = au_pred.shape[0]
     mask = (jnp.arange(T_a)[:, None] < audio_lengths[None, :]).astype(jnp.float32)
+    if row_weights is not None:
+        mask = mask * row_weights[None, :].astype(jnp.float32)
     sq = jnp.sum(jnp.square(au_pred - au_target), axis=-1)  # [T_a, B]
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(sq * mask) / denom

@@ -41,6 +41,11 @@ class Batch(NamedTuple):
     targets: Optional[jnp.ndarray] = None        # [B, K] unit ids incl. EOS
     target_lengths: Optional[jnp.ndarray] = None # [B] incl. EOS
     au_targets: Optional[jnp.ndarray] = None     # [B, T_a, au_dim] (TASLP AU loss)
+    au_row_weights: Optional[jnp.ndarray] = None # [B] 1.0 = row contributes
+                                                 # to the AU loss (0 for the
+                                                 # loader's repeated padding
+                                                 # rows and utterances with
+                                                 # no AU stream)
     uid_hashes: Optional[jnp.ndarray] = None     # [B] uint32 crc32(uid): keys
                                                  # deterministic eval noise to
                                                  # the utterance, not its
@@ -456,7 +461,8 @@ def _losses(
             # pool the frontend-rate targets to match (masked group mean).
             au_t = _pool_time(au_t, aux["audio_frontend_lengths"], R)
         au_loss = fus.au_regression_loss(
-            aux["au_predictions"], au_t, aux["audio_feature_lengths"]
+            aux["au_predictions"], au_t, aux["audio_feature_lengths"],
+            row_weights=batch.au_row_weights,
         )
         metrics["au_loss"] = au_loss
         total = total + cfg.fusion.au_loss_weight * au_loss

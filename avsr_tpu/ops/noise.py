@@ -196,6 +196,13 @@ def mix_fixed_snr(
     arr = bank.banks[bank.type_index(noise_type)]
     B, S = wav.shape
     N, L = arr.shape
+    if L < S:
+        # Same loud check as the train path (_sample_type_segments):
+        # clamping the offset range would let tracing proceed into an
+        # opaque dynamic_slice shape error minutes into a remote compile.
+        raise ValueError(
+            f"noise bank rows ({L}) shorter than waveform ({S})"
+        )
     base = jax.random.PRNGKey(seed)
     if uid_hashes is None:
         uid_hashes = jnp.arange(B, dtype=jnp.uint32)
@@ -204,7 +211,7 @@ def mix_fixed_snr(
         k_idx, k_off = jax.random.split(jax.random.fold_in(base, h))
         return (
             jax.random.randint(k_idx, (), 0, N),
-            jax.random.randint(k_off, (), 0, max(L - S + 1, 1)),
+            jax.random.randint(k_off, (), 0, L - S + 1),
         )
 
     idx, offsets = jax.vmap(draw)(uid_hashes.astype(jnp.uint32))

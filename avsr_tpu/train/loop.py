@@ -214,6 +214,16 @@ class Trainer:
         # over) a real later checkpoint.
         new_step = max(self.ckpt.all_steps()) + 1
         if save:
+            # The saved payload's step must equal its label: restore
+            # derives rng folds, on-device schedules (lr / sampling ramp),
+            # and the next save's label from state.step — a payload step
+            # of used[-1] under label new_step would desync them forever.
+            step_arr = jnp.asarray(new_step, dtype=self.state.step.dtype)
+            if self._state_shardings is not None:
+                step_arr = jax.device_put(
+                    step_arr, self._state_shardings.step
+                )
+            self.state = self.state._replace(step=step_arr)
             self.ckpt.save(
                 new_step, self.state,
                 {"epoch": self.epoch, "averaged_from": used},
@@ -533,6 +543,7 @@ class Trainer:
             )
             T_a = max((T_raw - stack) // skip + 1, 1)
             out["au_targets"] = np.zeros((B, T_a, loader.au_dim), np.float32)
+            out["au_row_weights"] = np.ones((B,), np.float32)
         K = shp.label_len
         tgt = np.zeros((B, K), np.int32)
         tgt[:, 0] = 2  # EOS
@@ -579,7 +590,14 @@ class Trainer:
             ids = np.asarray(ids_dev)
             n_real = np_batch["num_real"]
             losses.append(float(metrics_dev["loss"]))
-            weights.append(n_real)
+            # Per-batch losses are token means (sequence_loss normalizes by
+            # its mask); combine them weighted by real token count so the
+            # summary is the corpus token mean — utterance-count weighting
+            # would shift with the bucket mix (long-utterance buckets run
+            # smaller batches) even at identical model quality.
+            tl = np.asarray(np_batch["target_lengths"][:n_real])
+            K_cap = np_batch["targets"].shape[1]
+            weights.append(int(np.minimum(tl, K_cap).sum()))
             # Score against the UNTRUNCATED reference carried by the loader
             # (np_batch["references"]); the targets tensor is capped at the
             # bucket's label horizon (label_bucket_caps) for the training/

@@ -37,6 +37,33 @@ def test_static_shapes_per_bucket():
     assert seen  # at least one batch
 
 
+def test_video_only_bucketing_converts_frame_rate():
+    """Video-only datasets bucket by the 100 Hz-equivalent length: a 6 s
+    video (150 frames at 25 fps) needs a bucket whose video capacity
+    (ceil(boundary*fps/100)+1) holds 150 frames — comparing the raw 25 Hz
+    count against 100 Hz boundaries silently truncated ~75% of it."""
+    from avsr_tpu.data.synthetic import Utterance
+
+    T = 150  # 6 s at 25 fps
+    utts = [
+        Utterance(uid=f"v{i}", transcript="ab",
+                  video=np.zeros((T, 8, 8, 1), np.float32))
+        for i in range(2)
+    ]
+    cfg = DataConfig(batch_size=2, audio_bucket_boundaries=(200, 400, 700),
+                     max_label_length=8)
+    loader = BucketingLoader(
+        utts, builtin_unit_dict("character"), cfg,
+        require_audio=False, require_video=True,
+        frame_step=160, frame_length=400,
+    )
+    batches = list(loader.epoch(shuffle=False))
+    assert len(batches) == 1
+    _, batch = batches[0]
+    assert list(batch["video_lengths"]) == [T, T]  # nothing truncated
+    assert batch["video"].shape[1] >= T
+
+
 def test_labels_have_eos_and_lengths():
     loader, utts, units = make_loader()
     by_uid = {u.uid: u for u in utts}

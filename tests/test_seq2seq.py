@@ -110,6 +110,35 @@ def test_av_align_au_loss_changes_total(rng):
     assert float(l_with) != pytest.approx(float(l_wo))
 
 
+def test_au_row_weights_exclude_rows(rng):
+    """A zero-weighted row (loader padding repeat / au=None utterance)
+    must not move the AU loss — its all-zero targets would otherwise
+    regress predictions toward 0 at full weight."""
+    cfg = tiny_config("av_align", fusion_kw=dict(au_loss_weight=5.0, au_dim=2))
+    params = seq2seq.model_init(jax.random.PRNGKey(2), cfg, VOCAB)
+    b = tiny_batch("av_align", rng)
+    out = seq2seq.encode(params, cfg, b, train=False)
+    T_a = out.aux["au_predictions"].shape[0]
+    au = np.random.default_rng(0).standard_normal((2, T_a, 2)).astype(
+        np.float32
+    )
+    w = jnp.asarray([1.0, 0.0], jnp.float32)
+    b1 = b._replace(au_targets=jnp.asarray(au), au_row_weights=w)
+    au2 = au.copy()
+    au2[1] = 99.0  # garbage in the excluded row
+    b2 = b._replace(au_targets=jnp.asarray(au2), au_row_weights=w)
+    _, m1 = seq2seq.loss_fn(params, cfg, b1, train=False,
+                            rng=jax.random.PRNGKey(0))
+    _, m2 = seq2seq.loss_fn(params, cfg, b2, train=False,
+                            rng=jax.random.PRNGKey(0))
+    assert float(m1["au_loss"]) == pytest.approx(float(m2["au_loss"]))
+    # and the weighted loss differs from the unweighted one (row 1 counts)
+    b3 = b._replace(au_targets=jnp.asarray(au2))
+    _, m3 = seq2seq.loss_fn(params, cfg, b3, train=False,
+                            rng=jax.random.PRNGKey(0))
+    assert float(m3["au_loss"]) != pytest.approx(float(m1["au_loss"]))
+
+
 def test_grads_flow_everywhere(rng):
     """Every parameter receives a nonzero gradient in the AV-Align regime."""
     cfg = tiny_config("av_align")

@@ -106,6 +106,11 @@ def test_overfit_av_align_with_au_loss_and_noise(tmp_path, data):
     # loader must be emitting AU targets for the AU loss path
     _, b0 = next(iter(avsr.train_loader.epoch()))
     assert "au_targets" in b0 and b0["au_targets"].ndim == 3
+    # real rows carry AU-loss weight 1; repeated padding rows weigh 0
+    assert "au_row_weights" in b0
+    nr = b0["num_real"]
+    assert np.all(b0["au_row_weights"][:nr] == 1.0)
+    assert np.all(b0["au_row_weights"][nr:] == 0.0)
     avsr.train(num_epochs=cfg.train.num_epochs)
     summary = avsr.evaluate(use_beam=True)
     assert summary["cer"] < 0.35, summary
@@ -480,6 +485,9 @@ def test_checkpoint_averaging(tmp_path):
     # the averaged step is a first-class checkpoint: restorable + evaluable
     restored, extra, step = tr.ckpt.restore(tr.state, step=new_step)
     assert step == new_step and extra.get("averaged_from") == steps[-2:]
+    # the payload's on-device step must equal its label: rng folds and
+    # on-device schedules derive from state.step after restore
+    assert int(restored.step) == new_step
     metrics = av.evaluate(checkpoint=new_step)
     assert np.isfinite(metrics["loss"])
     # averaging OLDER steps must not collide with newer checkpoints on
