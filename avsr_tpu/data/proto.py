@@ -53,18 +53,32 @@ def _write_varint(buf: bytearray, v: int) -> None:
 
 
 def _read_varint(data: bytes, pos: int):
+    """UNSIGNED base-128 varint, capped at 10 bytes (the longest legal
+    64-bit varint).  Tags and length prefixes must never be interpreted as
+    signed: a crafted length >= 2^63 read as negative would move the parse
+    position BACKWARD (infinite loop on hostile records — framing CRCs are
+    attacker-computable), and unbounded continuation bytes would do O(n^2)
+    bigint work.  Raises ValueError on truncation/overlength."""
     result = 0
     shift = 0
-    while True:
+    end = min(pos + 10, len(data))
+    while pos < end:
         b = data[pos]
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            break
+            return result & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
-    if result >= 1 << 63:
-        result -= 1 << 64
-    return result, pos
+    raise ValueError("malformed varint (truncated or longer than 10 bytes)")
+
+
+def _read_signed_varint(data: bytes, pos: int):
+    """Int64 VALUE semantics: two's-complement reinterpretation of the
+    unsigned wire varint (proto int64 fields encode negatives this way)."""
+    v, pos = _read_varint(data, pos)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v, pos
 
 
 def _write_tag(buf: bytearray, field: int, wire_type: int) -> None:
@@ -77,22 +91,11 @@ def _write_len_delimited(buf: bytearray, field: int, payload: bytes) -> None:
     buf.extend(payload)
 
 
-def _skip(data: bytes, pos: int, wire_type: int) -> int:
-    if wire_type == _WT_VARINT:
-        _, pos = _read_varint(data, pos)
-    elif wire_type == _WT_64BIT:
-        pos += 8
-    elif wire_type == _WT_LEN:
-        n, pos = _read_varint(data, pos)
-        pos += n
-    elif wire_type == _WT_32BIT:
-        pos += 4
-    else:
-        raise ValueError(f"unsupported wire type {wire_type}")
-    return pos
-
-
 def _iter_fields(data: bytes):
+    """Iterate (field, wire_type, payload) with STRICT bounds: a declared
+    length that overruns the buffer raises instead of silently yielding a
+    Python-clamped short slice (which would decode truncated waveforms /
+    feature rows as valid shorter data)."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -100,15 +103,24 @@ def _iter_fields(data: bytes):
         field, wt = tag >> 3, tag & 7
         if wt == _WT_LEN:
             ln, pos = _read_varint(data, pos)
+            if ln > n - pos:
+                raise ValueError(
+                    f"length-delimited field overruns buffer "
+                    f"({ln} declared, {n - pos} remaining)"
+                )
             yield field, wt, data[pos : pos + ln]
             pos += ln
         elif wt == _WT_VARINT:
-            v, pos = _read_varint(data, pos)
+            v, pos = _read_signed_varint(data, pos)
             yield field, wt, v
         elif wt == _WT_32BIT:
+            if n - pos < 4:
+                raise ValueError("truncated fixed32 field")
             yield field, wt, data[pos : pos + 4]
             pos += 4
         elif wt == _WT_64BIT:
+            if n - pos < 8:
+                raise ValueError("truncated fixed64 field")
             yield field, wt, data[pos : pos + 8]
             pos += 8
         else:
@@ -128,32 +140,46 @@ def encode_feature(value: FeatureValue) -> bytes:
     serialization otherwise."""
     import numpy as _np
 
-    if isinstance(value, _np.ndarray) and value.dtype.kind == "f":
-        packed = _np.ascontiguousarray(value, dtype="<f4").tobytes()
-        pl = bytearray()
-        _write_len_delimited(pl, 1, packed)
-        out = bytearray()
-        _write_len_delimited(out, 2, bytes(pl))
-        return bytes(out)
+    if isinstance(value, _np.ndarray):
+        if value.dtype.kind == "f":
+            packed = _np.ascontiguousarray(value, dtype="<f4").tobytes()
+            pl = bytearray()
+            _write_len_delimited(pl, 1, packed)
+            out = bytearray()
+            _write_len_delimited(out, 2, bytes(pl))
+            return bytes(out)
+        if value.dtype.kind in "iu":
+            value = [int(v) for v in value.reshape(-1)]
+        else:
+            raise TypeError(
+                f"cannot encode ndarray feature of dtype {value.dtype}"
+            )
     inner = bytearray()
     if len(value) and isinstance(value[0], (bytes, bytearray)):
         for v in value:
             _write_len_delimited(inner, 1, bytes(v))
         kind = 1
-    elif len(value) and isinstance(value[0], float):
+    elif len(value) and isinstance(value[0], (float, _np.floating)):
         packed = struct.pack(f"<{len(value)}f", *value)
         pl = bytearray()
         _write_len_delimited(pl, 1, packed)
         inner = pl
         kind = 2
-    elif len(value) and isinstance(value[0], int):
+    elif len(value) and isinstance(value[0], (int, _np.integer)):
         pl = bytearray()
         packed = bytearray()
         for v in value:
-            _write_varint(packed, v)
+            _write_varint(packed, int(v))
         _write_len_delimited(pl, 1, bytes(packed))
         inner = pl
         kind = 3
+    elif len(value):
+        # Silently writing an empty BytesList here would round-trip
+        # "successfully" with the values dropped — corrupt corpora
+        # discovered only at training time.
+        raise TypeError(
+            f"cannot encode feature element of type {type(value[0])}"
+        )
     else:  # empty
         kind = 1
     out = bytearray()
@@ -183,7 +209,7 @@ def decode_feature(data: bytes) -> FeatureValue:
                 if w == _WT_LEN:
                     pos = 0
                     while pos < len(p):
-                        v, pos = _read_varint(p, pos)
+                        v, pos = _read_signed_varint(p, pos)
                         ivals.append(v)
                 else:
                     ivals.append(p)

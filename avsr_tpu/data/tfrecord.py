@@ -155,6 +155,10 @@ def read_record_at(f, offset: int, length: int, verify: bool = True) -> bytes:
         raise ValueError("truncated TFRecord payload")
     if verify:
         crc_bytes = f.read(4)
+        if len(crc_bytes) != 4:
+            # file truncated after indexing (writer crash / partial copy):
+            # keep the module's ValueError contract, not struct.error
+            raise ValueError(f"truncated TFRecord crc at offset {offset}")
         (data_crc,) = struct.unpack("<I", crc_bytes)
         if masked_crc32c(data) != data_crc:
             raise ValueError(f"data crc mismatch at offset {offset}")

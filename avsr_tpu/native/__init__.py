@@ -99,16 +99,33 @@ def tfrecord_index(buf: bytes, verify: bool = True) -> List[Tuple[int, int]]:
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    # Generous upper bound: every record is >= 16 bytes of framing.
-    max_records = max(len(buf) // 16, 1)
-    offsets = (ctypes.c_uint64 * max_records)()
-    lengths = (ctypes.c_uint64 * max_records)()
-    n = lib.avsr_tfrecord_index(
-        buf, len(buf), offsets, lengths, max_records, int(verify)
-    )
-    if n < 0:
-        raise ValueError(f"corrupt TFRecord stream (code {n})")
-    return [(int(offsets[i]), int(lengths[i])) for i in range(n)]
+    # Hard bound: every record is >= 16 bytes of framing.  Start small and
+    # grow on the C side's -4 (capacity) code — sizing the index at the
+    # hard bound up front would allocate ~len(buf) bytes of index arrays
+    # (doubling peak RSS on multi-GB files) for typically a few thousand
+    # records.
+    hard = max(len(buf) // 16, 1)
+    cap = min(65536, hard)
+    while True:
+        offsets = (ctypes.c_uint64 * cap)()
+        lengths = (ctypes.c_uint64 * cap)()
+        n = lib.avsr_tfrecord_index(
+            buf, len(buf), offsets, lengths, cap, int(verify)
+        )
+        if n == -4:
+            if cap >= hard:
+                # count can never exceed size/16: bytes remain after the
+                # last whole record — same condition the pure-Python
+                # fallback rejects.
+                raise ValueError(
+                    "corrupt TFRecord stream (trailing bytes after the "
+                    "last record)"
+                )
+            cap = min(cap * 4, hard)
+            continue
+        if n < 0:
+            raise ValueError(f"corrupt TFRecord stream (code {n})")
+        return [(int(offsets[i]), int(lengths[i])) for i in range(n)]
 
 
 def tfrecord_frame(data: bytes) -> bytes:
@@ -131,8 +148,11 @@ class editdist:  # namespace-style accessor used by eval/metrics.py
         lib = _load()
         if lib is None:
             raise RuntimeError("native library unavailable")
-        aa = np.asarray(a, np.int32)
-        bb = np.asarray(b, np.int32)
+        # ascontiguousarray, not asarray: the C kernel reads stride-1; a
+        # non-contiguous int32 view would pass its base pointer and score
+        # the wrong elements.
+        aa = np.ascontiguousarray(a, np.int32)
+        bb = np.ascontiguousarray(b, np.int32)
         return int(
             lib.avsr_levenshtein(
                 aa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(aa),

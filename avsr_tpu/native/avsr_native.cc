@@ -93,6 +93,11 @@ int64_t avsr_tfrecord_index(const uint8_t* buf, uint64_t size,
     ++count;
     pos += 12 + len + 4;
   }
+  // Capacity exhausted with bytes left: -4 tells the caller to retry with
+  // a larger index (or, at the size/16 hard bound, that the tail is
+  // trailing garbage — the pure-Python fallback raises for the same file,
+  // and silent acceptance would differ by whether this library built).
+  if (count == max_records && pos < size) return -4;
   return count;
 }
 

@@ -113,6 +113,60 @@ def test_sequence_example_tf_interop():
     assert fls2["tags"] == [[b"a"], [b"b"]]
 
 
+def test_proto_hostile_wire_rejected():
+    """Hostile/corrupt proto payloads must raise, not hang or silently
+    truncate (framing CRCs are attacker-computable)."""
+    # length varint = 2**64 - 11: signed reinterpretation would move the
+    # parse position BACKWARD -> infinite loop in _iter_fields
+    huge_len = b"\x0a\xf5\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+    with pytest.raises(ValueError):
+        list(proto._iter_fields(huge_len))
+    # unbounded continuation bytes (no terminator within 10 bytes)
+    with pytest.raises(ValueError):
+        list(proto._iter_fields(b"\x80" * 64))
+    # declared length overruns the buffer: must raise, not yield the
+    # Python-clamped short slice (silently truncated feature data)
+    overrun = b"\x0a\x7f" + b"x" * 4
+    with pytest.raises(ValueError, match="overruns"):
+        list(proto._iter_fields(overrun))
+    # truncated fixed32
+    with pytest.raises(ValueError, match="truncated"):
+        list(proto._iter_fields(b"\x0d\x01\x02"))
+    # negative int64 values still round-trip (signed VALUE semantics)
+    assert proto.decode_feature(proto.encode_feature([-5, 3])) == [-5, 3]
+
+
+def test_encode_feature_numpy_ints_and_unknown_types():
+    """np int arrays/scalars encode as Int64List; unencodable element
+    types raise instead of silently writing an empty BytesList."""
+    assert proto.decode_feature(
+        proto.encode_feature(np.array([1, 2, 3], np.int64))
+    ) == [1, 2, 3]
+    assert proto.decode_feature(
+        proto.encode_feature([np.int64(7), np.int64(-1)])
+    ) == [7, -1]
+    got = proto.decode_feature(proto.encode_feature([np.float32(0.5)]))
+    assert got == pytest.approx([0.5])
+    with pytest.raises(TypeError):
+        proto.encode_feature([object()])
+    with pytest.raises(TypeError):
+        proto.encode_feature(np.array([b"x"], dtype=object))
+
+
+def test_native_index_trailing_garbage_matches_python():
+    """Trailing junk after the last record must be rejected by BOTH the
+    native and pure-Python index paths (corruption detection must not
+    depend on whether the native library built)."""
+    from avsr_tpu import native
+    from avsr_tpu.data.tfrecord import frame_record
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    buf = b"".join(frame_record(b"") for _ in range(4)) + b"\x01\x02"
+    with pytest.raises(ValueError):
+        native.tfrecord_index(buf, verify=True)
+
+
 def test_native_index_rejects_hostile_length():
     """A crafted header whose length field would wrap uint64 arithmetic
     (pos + 12 + len + 4) must be rejected by the native indexer, not read
