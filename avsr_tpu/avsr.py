@@ -172,8 +172,17 @@ class AVSR:
             train_utts = _open_source(config.data.video_train_records, None)
         if eval_utts is None and config.data.video_eval_records:
             eval_utts = _open_source(config.data.video_eval_records, None)
+        self._has_train_data = train_utts is not None
         if train_utts is None:
-            raise ValueError("no training data: pass record paths or utterances")
+            if eval_utts is None:
+                raise ValueError(
+                    "no data: pass train/eval record paths or utterances"
+                )
+            # EVAL-ONLY construction (evaluate / export / analyze /
+            # average-checkpoints machines need no training TFRecords):
+            # the eval set stands in for schedule/warmup metadata only;
+            # train() refuses below.
+            train_utts = eval_utts
 
         need_audio = config.architecture in ("audio", "av_align", "bimodal")
         need_video = config.architecture in ("video", "av_align", "bimodal")
@@ -228,6 +237,11 @@ class AVSR:
         logfile: Optional[str] = None,
         try_restore_latest_checkpoint: bool = False,
     ) -> Dict[str, float]:
+        if not self._has_train_data:
+            raise ValueError(
+                "train() called on an eval-only AVSR (constructed without "
+                "training data); pass data.*_train_records or utterances"
+            )
         if logfile:
             # Attach to the Trainer's existing logger — constructing a
             # second MetricsLogger would leak the first one's open
@@ -252,23 +266,34 @@ class AVSR:
         NEVER-TRAINED state: with no checkpoint on disk and no training done
         in this session, evaluation would score freshly-initialized params
         (~100% WER) with no hint why, so it raises instead."""
+        self._restore_for_eval(checkpoint)
+        return self.trainer.evaluate(epoch=epoch, use_beam=use_beam)
+
+    def _restore_for_eval(self, checkpoint: Optional[str]) -> None:
+        """Restore-for-scoring policy shared by evaluate() and the noise
+        matrix: explicit checkpoint > in-session state (params trained,
+        averaged, or restored THIS session are never silently clobbered) >
+        latest on disk > fail loudly on a never-trained model."""
         if checkpoint is not None:
             step = self._resolve_checkpoint_step(checkpoint)
             self.trainer.state, _, _ = self.trainer.ckpt.restore(
                 self.trainer.state, step
             )
+            self.trainer._host_step = step
+        elif self.trainer._host_step != 0:
+            return  # keep in-session state (e.g. an unsaved average)
         elif self.trainer.ckpt.latest_step() is not None:
-            self.trainer.state, _, _ = self.trainer.ckpt.restore(
+            self.trainer.state, _, step = self.trainer.ckpt.restore(
                 self.trainer.state
             )
-        elif self.trainer._host_step == 0:
+            self.trainer._host_step = int(step)
+        else:
             raise RuntimeError(
                 "evaluate() called on a never-trained model: no checkpoint "
                 f"under {self.trainer.ckpt.directory} and no training steps "
                 "taken this session — the result would score randomly-"
                 "initialized parameters.  Train first, or pass checkpoint=."
             )
-        return self.trainer.evaluate(epoch=epoch, use_beam=use_beam)
 
     def _resolve_checkpoint_step(self, checkpoint) -> int:
         """checkpoint -> step int; raises on anything unresolvable.
@@ -323,9 +348,16 @@ class AVSR:
         return self.trainer.evaluate(use_beam=use_beam)
 
     def evaluate_noise_matrix(self, snrs=(None, 20.0, 10.0, 0.0, -5.0),
-                              noise_types=None, use_beam: bool = True):
+                              noise_types=None, use_beam: bool = True,
+                              checkpoint: Optional[str] = None):
         """Per-(noise type x SNR)-condition evaluation (reference workflow:
-        error-rate files per condition, e.g. babble_0dB / cafe_0dB)."""
+        error-rate files per condition, e.g. babble_0dB / cafe_0dB).
+
+        Same restore policy as ``evaluate`` — in particular a fresh
+        process with checkpoints on disk restores the latest instead of
+        silently scoring freshly-initialized params across every
+        condition."""
+        self._restore_for_eval(checkpoint)
         return self.trainer.evaluate_noise_matrix(
             snrs, noise_types=noise_types, use_beam=use_beam
         )

@@ -81,14 +81,15 @@ def cmd_evaluate(args) -> int:
     avsr = _build_avsr(args)
     if getattr(args, "matrix", False):
         # Per-(noise type x SNR)-condition matrix (reference workflow: one
-        # error-rate file per condition).  Restore the checkpoint once.
-        if args.checkpoint is not None:
-            avsr.evaluate(checkpoint=args.checkpoint, use_beam=not args.greedy)
+        # error-rate file per condition).  The matrix restores the
+        # checkpoint itself (a full evaluate() just to restore would decode
+        # the clean condition twice).
         snrs: List[object] = [None]
         if args.snrs:
             snrs += [float(s) for s in args.snrs.split(",")]
         results = avsr.evaluate_noise_matrix(
-            tuple(snrs), use_beam=not args.greedy
+            tuple(snrs), use_beam=not args.greedy,
+            checkpoint=args.checkpoint,
         )
         print(json.dumps(results))
         return 0

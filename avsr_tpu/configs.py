@@ -436,6 +436,16 @@ class ExperimentConfig:
 def _dataclass_from_dict(cls: type, d: dict) -> Any:
     if not dataclasses.is_dataclass(cls):
         return d
+    # Unknown keys fail loudly: a typo in a --config JSON file
+    # ("learing_rate") silently training with the default would be an
+    # experiment run with the wrong hyperparameters and no error.
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - known
+    if unknown:
+        raise KeyError(
+            f"unknown config key(s) for {cls.__name__}: "
+            f"{sorted(unknown)} (known: {sorted(known)})"
+        )
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:

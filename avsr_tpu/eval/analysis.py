@@ -14,7 +14,6 @@ eval, never in the jitted path.
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 from typing import Dict, List, Sequence, Tuple
 
@@ -36,18 +35,19 @@ def parse_predictions(path: str) -> List[Tuple[str, str, str]]:
             line = line.rstrip("\n")
             if line.startswith("#") or not line.strip() and uid is None:
                 continue
-            m = re.match(r"^(id|ref|hyp): {0,2}(.*)$", line)
-            if not m:
-                continue
-            kind, text = m.group(1), m.group(2)
-            if kind == "id":
-                uid = text
-            elif kind == "ref":
-                ref = text
-            elif kind == "hyp":
+            # Exact writer prefixes ("id:  " two spaces, "ref: "/"hyp: "
+            # one): a greedy ' {0,2}' would eat leading spaces that are
+            # PART of the text (space is in the character inventory), and
+            # the file-derived CER would disagree with the eval-time
+            # accumulator's.
+            if line.startswith("id:  "):
+                uid = line[5:]
+            elif line.startswith("ref: "):
+                ref = line[5:]
+            elif line.startswith("hyp: "):
                 if uid is None or ref is None:
                     raise ValueError(f"malformed predictions file {path!r}")
-                triples.append((uid, ref, text))
+                triples.append((uid, ref, line[5:]))
                 uid = ref = None
     return triples
 

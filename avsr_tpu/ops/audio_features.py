@@ -305,7 +305,18 @@ def logmel_frontend(
     if cfg.normalization == "per_utterance":
         feat = masked_normalize(feat, feat_len)
     elif cfg.normalization == "global":
-        feat = (feat - jnp.mean(feat)) * jax.lax.rsqrt(jnp.var(feat) + 1e-8)
+        # Batch statistics over VALID frames only: unmasked mean/var would
+        # include the padded frames' log-floor values, making features
+        # depend on pad length and batch composition (the padding-
+        # invariance design invariant).
+        T_frames = feat.shape[1]
+        m = (
+            jnp.arange(T_frames)[None, :] < feat_len[:, None]
+        ).astype(feat.dtype)[..., None]
+        denom = jnp.maximum(jnp.sum(m) * feat.shape[-1], 1.0)
+        mu = jnp.sum(feat * m) / denom
+        var = jnp.sum(jnp.square(feat - mu) * m) / denom
+        feat = (feat - mu) * jax.lax.rsqrt(var + 1e-8)
 
     # Zero out padded frames so downstream masked ops can trust zeros.
     T = feat.shape[1]

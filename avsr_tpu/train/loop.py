@@ -280,10 +280,33 @@ class Trainer:
         evaluate_every: Optional[int] = None,
     ) -> Dict[str, float]:
         cfg = self.cfg
-        num_epochs = num_epochs or cfg.train.num_epochs
-        evaluate_every = evaluate_every or cfg.train.eval_every_epochs
+        # `is None`, not `or`: an explicit 0 means "no epochs" / "never
+        # eval in-train", not "use the config default".
+        if num_epochs is None:
+            num_epochs = cfg.train.num_epochs
+        if evaluate_every is None:
+            evaluate_every = cfg.train.eval_every_epochs
         if try_restore_latest_checkpoint:
             self.try_restore_latest_checkpoint()
+        if self._host_step == 0 and self._best_record is not None:
+            # FRESH run in a directory holding a previous run's best.json:
+            # that record describes another model's CER (early stopping
+            # would count against it, and once this run overwrites the
+            # pinned step, `checkpoint="best"` would load new tensors
+            # labeled with the old run's CER).  Reset the tracker.
+            self.logger.info(
+                "fresh run: discarding previous run's best.json "
+                f"(step {self._best_record.get('step')}, "
+                f"cer {self._best_record.get('cer')})"
+            )
+            self._best_record = None
+            self._best_cer = float("inf")
+            self._evals_since_best = 0
+            self.ckpt.set_preserved(set())
+            try:
+                os.remove(os.path.join(self.run_dir, "best.json"))
+            except OSError:
+                pass
         if cfg.train.warmup_compile:
             self.warmup()
 
@@ -395,7 +418,8 @@ class Trainer:
                 self._host_step, self.state,
                 {"epoch": self.epoch, "batches_done": 0},
             )
-            if self.eval_loader is not None and self.epoch % evaluate_every == 0:
+            if (self.eval_loader is not None and evaluate_every
+                    and self.epoch % evaluate_every == 0):
                 last_metrics = self.evaluate(epoch=self.epoch)
                 if self._update_best(last_metrics):
                     return last_metrics

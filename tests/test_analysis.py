@@ -92,6 +92,19 @@ def test_parse_predictions_roundtrip(tmp_path):
     assert np.isclose(rep["wer"], acc.wer)
 
 
+def test_parse_predictions_preserves_leading_space(tmp_path):
+    """Space is in the character inventory; a hypothesis/reference that
+    STARTS with one must round-trip exactly or the file-derived CER
+    disagrees with the eval accumulator's."""
+    acc = ErrorRateAccumulator()
+    acc.update(" cat", "  cat", uid="s")
+    path = str(tmp_path / "predictions_sp.txt")
+    acc.write_predictions(path)
+    assert parse_predictions(path) == [("s", " cat", "  cat")]
+    rep = analyze_file(path)
+    assert np.isclose(rep["cer"], acc.cer)
+
+
 def test_bootstrap_ci_brackets_point_and_degenerates():
     rng = np.random.default_rng(7)
     alphabet = list("abcde ")

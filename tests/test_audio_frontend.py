@@ -133,6 +133,26 @@ def test_frontend_bf16_tolerance():
     assert err.mean() < 0.05, err.mean()
 
 
+def test_global_normalization_pad_invariant():
+    """normalization='global' statistics run over VALID frames only: the
+    same utterance in a longer bucket must produce identical features."""
+    cfg = AudioFrontendConfig(normalization="global")
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal(6000).astype(np.float32)
+    w1 = np.zeros((1, 8000), np.float32)
+    w1[0, :6000] = wav
+    w2 = np.zeros((1, 12000), np.float32)
+    w2[0, :6000] = wav
+    l = jnp.asarray([6000], jnp.int32)
+    f1, n1 = af.logmel_frontend(jnp.asarray(w1), l, cfg)
+    f2, n2 = af.logmel_frontend(jnp.asarray(w2), l, cfg)
+    T = int(n1[0])
+    np.testing.assert_allclose(np.asarray(f1[0, :T]), np.asarray(f2[0, :T]),
+                               rtol=1e-5, atol=1e-6)
+    # padded positions stay exactly zero
+    assert np.all(np.asarray(f2[0, int(n2[0]):]) == 0.0)
+
+
 def test_frontend_padding_invariance():
     """Same audio padded to different lengths -> identical valid features
     (SURVEY §4.3 property test)."""

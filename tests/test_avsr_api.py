@@ -148,6 +148,11 @@ def test_noise_type_matrix(tmp_path, data):
         noise_bank=bank,
     )
     assert avsr.trainer.noise_bank.names == ("babble", "cafe")
+    # the matrix shares evaluate()'s restore policy: a never-trained
+    # model raises rather than silently scoring random params
+    with pytest.raises(RuntimeError, match="never-trained"):
+        avsr.evaluate_noise_matrix(snrs=(None, 0.0), use_beam=False)
+    avsr.train(num_epochs=1)
     results = avsr.evaluate_noise_matrix(snrs=(None, 0.0), use_beam=False)
     assert set(results) == {"clean", "babble_0dB", "cafe_0dB"}
     for tag, summary in results.items():
@@ -236,6 +241,54 @@ def test_noise_bank_records_config_route(tmp_path, data):
     cfg_rt = ExperimentConfig.from_json(cfg.to_json())
     hash(cfg_rt)
     assert cfg_rt.noise.bank_records == cfg.noise.bank_records
+
+
+def test_config_unknown_keys_fail_loudly():
+    """A typo in a --config JSON file must raise, not silently train with
+    the default value."""
+    import pytest as _pytest
+
+    from avsr_tpu.configs import ExperimentConfig
+
+    with _pytest.raises(KeyError, match="learing_rate"):
+        ExperimentConfig.from_json(
+            '{"architecture": "audio", "train": {"learing_rate": 0.0003}}'
+        )
+
+
+def test_eval_only_avsr_and_matrix_restore(tmp_path, data):
+    """Eval-only construction (no training data) works for evaluate/
+    matrix, restores the latest checkpoint itself, and refuses train()."""
+    import pytest as _pytest
+
+    kw = dict(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "eo"),
+    )
+    AVSR(train_utterances=data, eval_utterances=data, **kw).train(
+        num_epochs=1
+    )
+    # fresh eval-only process over the same run_dir
+    av2 = AVSR(eval_utterances=data, **kw)
+    with _pytest.raises(ValueError, match="eval-only"):
+        av2.train(num_epochs=1)
+    results = av2.evaluate_noise_matrix((None,), use_beam=False)
+    assert av2.trainer._host_step > 0  # matrix restored the checkpoint
+    assert "clean" in results
+
+
+def test_explicit_zero_epochs_trains_nothing(tmp_path, data):
+    avsr = AVSR(
+        architecture="audio", encoder_units_per_layer=(16,),
+        decoder_units_per_layer=(16,), embedding_size=8, batch_size=4,
+        max_label_length=6, compute_dtype="float32",
+        run_dir=str(tmp_path / "z"),
+        train_utterances=data, eval_utterances=data,
+    )
+    avsr.train(num_epochs=0)
+    assert avsr.trainer._host_step == 0
 
 
 def test_predict_never_trained_raises_and_restores(tmp_path, data):
