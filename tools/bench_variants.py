@@ -32,7 +32,17 @@ import time
 
 ARMS = {
     # ordered by information value: unmeasured arms first (flagship and
-    # reference_dims are already pinned at 42.0 / 47.0 ms in RESULTS.md)
+    # reference_dims are already pinned at 42.0 / 47.0 ms in RESULTS.md).
+    # The round-3 sweep measured the single levers; these combined arms
+    # stack the independent winners (xa_fusion -27%, time_reduction -46%)
+    # while keeping the reference's recurrent encoders:
+    "xa_tr": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
+              "AVSR_BENCH_TIME_REDUCTION": "1,2,2"},
+    "xa_xfdec": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                 "AVSR_BENCH_DECODER_TYPE": "transformer"},
+    "xa_tr_xfdec": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                    "AVSR_BENCH_TIME_REDUCTION": "1,2,2",
+                    "AVSR_BENCH_DECODER_TYPE": "transformer"},
     "v2_scanfree": {"AVSR_BENCH_XF": "512,3,8",
                     "AVSR_BENCH_XF_VIDEO": "512,1,8",
                     "AVSR_BENCH_FUSION_TYPE": "cross_attention",
