@@ -585,6 +585,32 @@ def lrs2_av_v2() -> ExperimentConfig:
     )
 
 
+def lrs2_av_fast() -> ExperimentConfig:
+    """Fast AV preset (opt-in extension): the reference's recurrent
+    encoders and decoder with the two measured same-quality-class speed
+    levers stacked — multi-head cross-attention fusion in place of the
+    AV-Align fusion scan (the 12.7 ms component-budget leader; −27%
+    alone) and the (1,2,2) pyramidal audio time reduction (−46% alone;
+    standard LAS subsampling).  Both levers attack the fusion/decoder
+    memory-bandwidth floor: one removes the per-step Bahdanau energy
+    scan, the other quarters the memory length it streams.  Quality
+    gates: combined overfit suite (tests/test_time_reduction.py
+    ``test_overfit_fast_combo``) plus each lever's own gate; scheduled
+    sampling, beam decode, serving, and the data pipeline are identical
+    to lrs2_av_align.  Measured combination numbers live in
+    BENCH_variants.json (arm ``xa_tr``)."""
+    base = lrs2_full()
+    return base.replace(
+        audio_encoder=dataclasses.replace(
+            base.audio_encoder, time_reduction=(1, 2, 2)),
+        fusion=FusionConfig(
+            fusion_type="cross_attention", num_heads=4, attention_units=64,
+            memory_value_dim=256, au_loss_weight=10.0,
+        ),
+        name="lrs2_av_fast",
+    )
+
+
 PRESETS = {
     "audio_tcdtimit": audio_only_tcdtimit,
     "video_tcdtimit": video_only_tcdtimit,
@@ -593,4 +619,5 @@ PRESETS = {
     "av_align_noisy": av_align_noisy,
     "lrs2_av_align": lrs2_full,
     "lrs2_av_v2": lrs2_av_v2,
+    "lrs2_av_fast": lrs2_av_fast,
 }

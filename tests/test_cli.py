@@ -226,3 +226,16 @@ def test_build_units_from_records_and_manifest(tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         cli.main(["build-units", "--out", units_path])
+
+
+def test_every_preset_builds_and_round_trips():
+    """Each canned preset must construct, carry its own dict key as its
+    name, and survive the JSON round-trip (the config path every CLI
+    subcommand and checkpoint restore relies on)."""
+    from avsr_tpu.configs import PRESETS, ExperimentConfig
+
+    for key, builder in PRESETS.items():
+        cfg = builder()
+        assert cfg.name == key, (key, cfg.name)
+        back = ExperimentConfig.from_json(cfg.to_json())
+        assert back == cfg, key

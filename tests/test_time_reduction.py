@@ -197,3 +197,34 @@ def test_overfit_av_align_with_time_reduction(tmp_path):
     avsr.train(num_epochs=cfg.train.num_epochs)
     summary = avsr.evaluate(use_beam=True)
     assert summary["cer"] < 0.35, summary
+
+
+def test_overfit_fast_combo(tmp_path):
+    """Quality gate for the lrs2_av_fast lever STACK: cross-attention
+    fusion consuming a time-reduced audio memory (the preset's exact
+    combination, at overfit scale) must still drive CER low through the
+    recurrent decoder and beam decode.  Each lever has its own gate;
+    this pins their interaction (the fusion attends audio->video at the
+    REDUCED audio rate)."""
+    import dataclasses
+
+    from avsr_tpu.avsr import AVSR
+    from avsr_tpu.configs import EncoderConfig
+    from tests.test_train_loop import overfit_config, synth
+
+    data = synth()
+    cfg = overfit_config("av_align", str(tmp_path), epochs=45)
+    cfg = dataclasses.replace(
+        cfg,
+        audio_encoder=EncoderConfig(
+            hidden_units=(48, 48), time_reduction=(1, 2),
+            bidirectional=True, dropout_rate=0.0,
+        ),
+        fusion=dataclasses.replace(cfg.fusion, fusion_type="cross_attention",
+                                   num_heads=2, attention_units=12),
+    )
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runfast"),
+                train_utterances=data, eval_utterances=data)
+    avsr.train(num_epochs=cfg.train.num_epochs)
+    summary = avsr.evaluate(use_beam=True)
+    assert summary["cer"] < 0.35, summary
