@@ -7,9 +7,11 @@ the BEHAVIOR on the synthetic AV dataset (where the transcript is recoverable
 from both modalities): train an audio-only model and an AV-Align model on
 noisy audio, evaluate both per SNR condition, and report the comparison.
 
-Usage: python tools/validate_qualitative.py [epochs]
-Writes a JSON summary to stdout; exits nonzero if the qualitative ordering
-fails (AV worse than audio-only by a margin at the lowest SNR).
+Usage: python tools/validate_qualitative.py [epochs] [arm ...]
+With arm names (e.g. ``av_align_fast``), only those AV arms run (the
+audio-only baseline always runs — it is the comparison).  Writes a JSON
+summary to stdout; exits nonzero if the qualitative ordering fails (AV
+worse than audio-only by a margin at the lowest SNR).
 """
 
 import json
@@ -37,7 +39,8 @@ def main():
     )
     from avsr_tpu.data.synthetic import SyntheticSpec, generate, make_noise_bank
 
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    digit_args = [a for a in sys.argv[1:] if a.isdigit()]
+    epochs = int(digit_args[0]) if digit_args else 60
     data = generate(SyntheticSpec(
         num_utterances=48, min_chars=2, max_chars=5, seed=11,
         alphabet="abcdef", char_duration_s=0.1, roi=20,
@@ -103,7 +106,24 @@ def main():
                                   num_heads=4, attention_units=24,
                                   max_label_length=8, dropout_rate=0.0),
         ),
+        # the lrs2_av_fast lever stack (cross-attention fusion consuming a
+        # time-reduced audio memory; recurrent decoder kept) at these dims
+        "av_align_fast": dataclasses.replace(
+            cfg_for("av_align"),
+            audio_encoder=EncoderConfig(
+                hidden_units=(48, 48), time_reduction=(1, 2),
+                bidirectional=True, dropout_rate=0.0),
+            fusion=FusionConfig(fusion_type="cross_attention", num_heads=4,
+                                attention_units=24),
+        ),
     }
+    selected = [a for a in sys.argv[1:] if not a.isdigit()]
+    if selected:
+        unknown = set(selected) - set(variants)
+        if unknown:
+            raise SystemExit(f"unknown arm(s): {sorted(unknown)}")
+        variants = {k: v for k, v in variants.items()
+                    if k == "audio" or k in selected}
     results = {}
     for name, cfg in variants.items():
         avsr = AVSR(config=cfg, run_dir=f"/tmp/qual_{name}",
@@ -125,7 +145,7 @@ def main():
     a = summary["audio"]
     noisy_conds = ["0dB", "-5dB"]
     failed = False
-    for name in ("av_align", "av_align_vdim", "av_align_v2"):
+    for name in [k for k in summary if k != "audio"]:
         av = summary[name]
         av_better = sum(av[c] <= a[c] + 0.02 for c in noisy_conds)
         print(f"# {name} <= audio-only (±0.02) on "
