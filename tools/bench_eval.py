@@ -48,19 +48,25 @@ def main() -> None:
     S = int(16000 * SECONDS)
     Tv = int(SECONDS * FPS)
 
+    # Honors the shared AVSR_BENCH_* model-variant knobs
+    # (avsr_tpu/utils/bench_knobs.py) like bench.py and bench_decode.py;
+    # defaults are the measured flagship (vdim 256/256, RNN family).
+    from avsr_tpu.utils.bench_knobs import variant_from_env
+
+    var = variant_from_env()
     cfg = ExperimentConfig(
         architecture="av_align",
         audio=AudioFrontendConfig(),
         video=VideoFrontendConfig(),
-        audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
-                                    bidirectional=True),
-        video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
-        # flagship value down-projection (bench.py round-3 default; set the
-        # AVSR_BENCH_*VDIM env knobs there for the reference-dims model)
-        fusion=FusionConfig(attention_units=128, memory_value_dim=256),
+        audio_encoder=var.audio_encoder,
+        video_encoder=var.video_encoder,
+        fusion=FusionConfig(attention_units=128,
+                            memory_value_dim=var.fusion_value_dim,
+                            fusion_type=var.fusion_type),
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
                               attention_units=128, max_label_length=K,
-                              memory_value_dim=256),
+                              decoder_type=var.decoder_type,
+                              memory_value_dim=var.decoder_value_dim),
         decode=DecodeConfig(beam_width=10, max_decode_length=L),
         train=TrainConfig(compute_dtype="bfloat16"),
         name="bench_eval",
