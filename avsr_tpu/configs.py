@@ -574,7 +574,9 @@ def lrs2_av_v2() -> ExperimentConfig:
             dropout_rate=0.1,
         ),
         fusion=FusionConfig(
-            fusion_type="cross_attention", num_heads=4, attention_units=64,
+            # per-head dim 128 x 4 heads = the benched v2_scanfree arm
+            # (BENCH_variants.json) — preset dims == measured dims.
+            fusion_type="cross_attention", num_heads=4, attention_units=128,
             memory_value_dim=256, au_loss_weight=10.0,
         ),
         decoder=DecoderConfig(
@@ -598,15 +600,19 @@ def lrs2_av_fast() -> ExperimentConfig:
     ``test_overfit_fast_combo``) plus each lever's own gate; scheduled
     sampling, beam decode, serving, and the data pipeline are identical
     to lrs2_av_align.  Measured combination numbers live in
-    BENCH_variants.json (arm ``xa_tr``)."""
+    BENCH_variants.json (arm ``xa_tr``); the dims here match that
+    benched arm EXACTLY (fusion per-head dim 128 x 4 heads, 256-dim
+    value projection on BOTH attention memories — bench.py's knob
+    defaults), so the preset runs at the advertised number."""
     base = lrs2_full()
     return base.replace(
         audio_encoder=dataclasses.replace(
             base.audio_encoder, time_reduction=(1, 2, 2)),
         fusion=FusionConfig(
-            fusion_type="cross_attention", num_heads=4, attention_units=64,
+            fusion_type="cross_attention", num_heads=4, attention_units=128,
             memory_value_dim=256, au_loss_weight=10.0,
         ),
+        decoder=dataclasses.replace(base.decoder, memory_value_dim=256),
         name="lrs2_av_fast",
     )
 

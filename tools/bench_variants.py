@@ -100,6 +100,7 @@ def main() -> int:
         by_arm[name] = rec
         with open(out_path, "w") as f:
             json.dump(list(by_arm.values()), f, indent=1)
+            f.write("\n")
     ran = [by_arm[n] for n in names]
     ok = [r for r in ran if "error" not in r]
     print(f"[bench_variants] {len(ok)}/{len(ran)} arms ok "

@@ -7,13 +7,15 @@ the BEHAVIOR on the synthetic AV dataset (where the transcript is recoverable
 from both modalities): train an audio-only model and an AV-Align model on
 noisy audio, evaluate both per SNR condition, and report the comparison.
 
-Usage: python tools/validate_qualitative.py [epochs] [arm ...]
+Usage: python tools/validate_qualitative.py [--epochs N] [arm ...]
 With arm names (e.g. ``av_align_fast``), only those AV arms run (the
-audio-only baseline always runs — it is the comparison).  Writes a JSON
-summary to stdout; exits nonzero if the qualitative ordering fails (AV
-worse than audio-only by a margin at the lowest SNR).
+audio-only baseline always runs — it is the comparison).  Decoding is
+width-10 beam search (the reference's decode protocol, BASELINE.md §C).
+Writes a JSON summary to stdout; exits nonzero if the qualitative
+ordering fails (AV worse than audio-only by a margin at the lowest SNR).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -39,8 +41,12 @@ def main():
     )
     from avsr_tpu.data.synthetic import SyntheticSpec, generate, make_noise_bank
 
-    digit_args = [a for a in sys.argv[1:] if a.isdigit()]
-    epochs = int(digit_args[0]) if digit_args else 60
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--epochs", type=int, default=60)
+    parser.add_argument("arms", nargs="*",
+                        help="AV arm names to run (default: all)")
+    cli = parser.parse_args()
+    epochs = cli.epochs
     data = generate(SyntheticSpec(
         num_utterances=48, min_chars=2, max_chars=5, seed=11,
         alphabet="abcdef", char_duration_s=0.1, roi=20,
@@ -71,7 +77,7 @@ def main():
                             max_label_length=8),
             train=TrainConfig(learning_rate=5e-3, num_epochs=epochs,
                               compute_dtype="float32", eval_every_epochs=1000),
-            decode=DecodeConfig(beam_width=4, max_decode_length=8),
+            decode=DecodeConfig(beam_width=10, max_decode_length=8),
             name=f"qual_{arch}",
         )
 
@@ -117,7 +123,7 @@ def main():
                                 attention_units=24),
         ),
     }
-    selected = [a for a in sys.argv[1:] if not a.isdigit()]
+    selected = cli.arms
     if selected:
         unknown = set(selected) - set(variants)
         if unknown:
