@@ -124,7 +124,34 @@ def cmd_write_records(args) -> int:
         )
         print(f"wrote {n} utterances from {args.manifest} -> {args.out}")
         return 0
-    if not args.synthetic and args.noise_out:
+    if args.noise_wavs:
+        # Noise bank from REAL recordings (the reference's recorded
+        # babble/cafe workflow, SURVEY §5.9): --noise-wavs is either a
+        # list file (one wav path per line, '#' comments) or a
+        # comma-separated path list.  One bank file per noise TYPE; pass
+        # each bank to NoiseConfig / --set noise.bank_records.
+        if not args.noise_out:
+            raise SystemExit("--noise-wavs requires --noise-out")
+        from avsr_tpu.data.ingest import bank_from_wavs
+
+        if "," in args.noise_wavs or args.noise_wavs.endswith(".wav"):
+            wav_paths = [p for p in args.noise_wavs.split(",") if p]
+        else:
+            with open(args.noise_wavs) as f:
+                wav_paths = [ln.strip() for ln in f
+                             if ln.strip() and not ln.startswith("#")]
+        bank = bank_from_wavs(wav_paths, row_samples=args.noise_samples)
+        bank_utts = [
+            Utterance(uid=f"noise{i}", transcript="", waveform=bank[i])
+            for i in range(bank.shape[0])
+        ]
+        tfrecord.write_dataset(bank_utts, args.noise_out)
+        print(f"wrote noise bank ({bank.shape[0]} rows x "
+              f"{bank.shape[1]} samples from {len(wav_paths)} recordings) "
+              f"-> {args.noise_out}")
+        if not args.synthetic:
+            return 0
+    elif not args.synthetic and args.noise_out:
         # noise-bank-only write (e.g. one file per noise TYPE for a typed
         # babble/cafe bank: run once per type with different seeds)
         bank = make_noise_bank(num_rows=4, row_samples=args.noise_samples,
@@ -151,7 +178,7 @@ def cmd_write_records(args) -> int:
         )
         print(f"wrote {len(utts)} synthetic utterances -> "
               f"{paths[0] if len(paths) == 1 else f'{len(paths)} shards'}")
-        if args.noise_out:
+        if args.noise_out and not args.noise_wavs:
             bank = make_noise_bank(num_rows=4,
                                    row_samples=args.noise_samples,
                                    seed=args.seed + 1)
@@ -466,6 +493,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None,
                    help="corpus output path (required with --synthetic)")
     p.add_argument("--noise-out", default=None)
+    p.add_argument("--noise-wavs", default=None,
+                   help="build the noise bank from REAL recordings: a list "
+                        "file (one wav path per line) or comma-separated "
+                        "wav paths; run once per noise type")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--min-chars", type=int, default=2)
     p.add_argument("--max-chars", type=int, default=6)

@@ -79,6 +79,47 @@ def resample_linear(x: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
     return np.interp(dst_t, src_t, x).astype(np.float32)
 
 
+def bank_from_wavs(
+    paths: Sequence[str],
+    row_samples: int = 160_000,
+    target_rate: int = 16_000,
+) -> np.ndarray:
+    """Build an on-device noise bank [N, row_samples] from REAL recordings.
+
+    The reference mixed recorded babble/cafe noise into fixed noisy TFRecord
+    copies at dataset-writing time (SURVEY.md §5.9, upstream:avsr/
+    dataset_writer.py); this framework instead stores clean waveforms plus a
+    noise BANK and mixes at a runtime SNR inside the jitted step
+    (avsr_tpu/ops/noise.py).  This helper is the recorded-noise ingress:
+    each wav is loaded (resampled to target_rate, channel-averaged) and cut
+    into consecutive ``row_samples``-length rows; recordings shorter than
+    one row are tiled up to a full row so short clips still contribute.
+    Run once per noise TYPE (one bank file per type) for a typed
+    babble/cafe bank — the eval matrix reports per-(type x SNR).
+
+    Absolute level does not matter (mixing rescales by the energy ratio at
+    the target SNR), but silent recordings are rejected loudly — a
+    zero-energy row would make the SNR scale degenerate.
+    """
+    rows: List[np.ndarray] = []
+    for path in paths:
+        x = load_wav(path, target_rate=target_rate)
+        if len(x) == 0 or not np.any(np.abs(x) > 1e-6):
+            raise ValueError(
+                f"noise recording {path!r} is empty or silent; a zero-energy"
+                " bank row would break SNR mixing"
+            )
+        if len(x) < row_samples:
+            reps = int(np.ceil(row_samples / len(x)))
+            x = np.tile(x, reps)[:row_samples]
+        n_rows = len(x) // row_samples
+        for i in range(n_rows):
+            rows.append(x[i * row_samples : (i + 1) * row_samples])
+    if not rows:
+        raise ValueError("no noise rows produced (empty wav list?)")
+    return np.stack(rows).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # video: lip-ROI extraction
 # ---------------------------------------------------------------------------

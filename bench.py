@@ -13,13 +13,15 @@ Timing protocol notes (hard-won, see CLAUDE.md):
     runs (no per-step sync).  Per-step-synced timing would charge the relay
     latency to every step.
 
-``vs_baseline`` divides by TF1_CPU_BASELINE_FPS, a documented stand-in for
-the TF1-CPU reference throughput: BASELINE.json records ``"published": {}``
-(no reference numbers exist in this environment — SURVEY.md §6), so the
-operative target ">=5x TF1-CPU" is tracked against a conservative estimate
-of a TF1 dynamic_rnn seq2seq of this size on a modern CPU host (~1.5k
-10ms-frames/s).  Replace with a measured number when the judge's harness
-supplies one.
+``vs_baseline`` divides by TF1_CPU_BASELINE_FPS, which is now MEASURED on
+this host (round 4, tools/baseline_tf1.py; artifact BASELINE_tf1.json):
+a TF1 graph-mode AV-Align train step at these exact shapes — in-graph
+tf.signal frontend, dynamic_rnn BiLSTM encoders, hand-rolled
+AttentionWrapper fusion/decoder, per-step session.run — peaks at 1,083
+10ms-frames/s at B=64 on this 1-core CPU (970 at B=16; the best batch
+size is used, generous to the baseline).  BASELINE.json records
+``"published": {}`` (SURVEY.md §6), so this measured stand-in IS the
+operative ">=5x TF1-CPU" denominator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,7 +33,7 @@ import time
 
 import numpy as np
 
-TF1_CPU_BASELINE_FPS = 1500.0
+TF1_CPU_BASELINE_FPS = 1083.0  # measured: BASELINE_tf1.json
 
 # LRS2-scale config [BASELINE.json:configs[4]]: ~6 s utterances, char vocab.
 BATCH = 128

@@ -391,3 +391,58 @@ def test_build_utterance_roi_npy_import(tmp_path):
     np.testing.assert_allclose(
         utt.video[..., 0], rois.astype(np.float32) / 255.0, atol=1e-6
     )
+
+
+def test_bank_from_wavs_rows_and_tiling(tmp_path):
+    """Recorded-noise bank ingress (SURVEY §5.9): long recordings are cut
+    into consecutive rows; short ones are tiled to one full row."""
+    rng = np.random.default_rng(7)
+    long_path = str(tmp_path / "babble_long.wav")
+    short_path = str(tmp_path / "babble_short.wav")
+    long_x = rng.uniform(-0.5, 0.5, 2500).astype(np.float32)
+    short_x = rng.uniform(-0.5, 0.5, 400).astype(np.float32)
+    write_wav(long_path, long_x, 16_000)
+    write_wav(short_path, short_x, 16_000)
+
+    bank = ingest.bank_from_wavs([long_path, short_path], row_samples=1000)
+    assert bank.shape == (3, 1000)  # 2 rows from long (remainder dropped)
+    # rows are the consecutive segments of the recording
+    ref = ingest.load_wav(long_path)
+    np.testing.assert_allclose(bank[0], ref[:1000], atol=1e-6)
+    np.testing.assert_allclose(bank[1], ref[1000:2000], atol=1e-6)
+    # short recording tiled: second period repeats the first
+    np.testing.assert_allclose(bank[2][:400], bank[2][400:800], atol=1e-6)
+
+    with pytest.raises(ValueError, match="silent"):
+        silent = str(tmp_path / "silent.wav")
+        write_wav(silent, np.zeros(2000, np.float32), 16_000)
+        ingest.bank_from_wavs([silent], row_samples=1000)
+
+
+def test_cli_noise_bank_from_wav_list(tmp_path):
+    """CLI write-records --noise-wavs: list file of real recordings -> one
+    typed bank record, loadable by the AVSR noise-bank reader."""
+    from avsr_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"cafe{i}.wav")
+        write_wav(p, rng.uniform(-0.4, 0.4, 1500).astype(np.float32), 16_000)
+        paths.append(p)
+    lst = tmp_path / "cafe.list"
+    lst.write_text("# cafe recordings\n" + "\n".join(paths) + "\n")
+    out = str(tmp_path / "cafe_bank.tfrecord")
+
+    rc = cli_main(["write-records", "--noise-wavs", str(lst),
+                   "--noise-out", out, "--noise-samples", "600"])
+    assert rc == 0 or rc is None
+
+    rows = [u.waveform for u in tfrecord.read_dataset(out)]
+    assert len(rows) == 4  # 2 recordings x 2 rows each (1500 // 600 = 2)
+    assert all(len(r) == 600 for r in rows)
+    # the trainer-side loader accepts it as a typed bank
+    from avsr_tpu.avsr import _load_noise_bank
+
+    bank = _load_noise_bank({"cafe": out})
+    assert bank["cafe"].shape == (1, 2400)

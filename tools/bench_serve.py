@@ -35,7 +35,7 @@ def main():
     import jax
 
     from avsr_tpu.configs import (
-        AudioFrontendConfig, DecodeConfig, DecoderConfig, EncoderConfig,
+        AudioFrontendConfig, DecodeConfig, DecoderConfig,
         ExperimentConfig, FusionConfig, TrainConfig, VideoFrontendConfig,
     )
     from avsr_tpu.data.units import load_or_builtin
@@ -45,17 +45,25 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     transfer = sys.argv[2] if len(sys.argv) > 2 else "compact"
     K = 48
+    # Honors the shared AVSR_BENCH_* model-variant knobs like bench.py /
+    # bench_decode.py / bench_eval.py, so the fast/v2 families' exported
+    # artifacts get serving rows too (defaults: the measured flagship).
+    from avsr_tpu.utils.bench_knobs import variant_from_env
+
+    var = variant_from_env()
     cfg = ExperimentConfig(
         architecture="av_align",
         audio=AudioFrontendConfig(),
         video=VideoFrontendConfig(),
-        audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
-                                    bidirectional=True),
-        video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
-        fusion=FusionConfig(attention_units=128, memory_value_dim=256),
+        audio_encoder=var.audio_encoder,
+        video_encoder=var.video_encoder,
+        fusion=FusionConfig(attention_units=128,
+                            memory_value_dim=var.fusion_value_dim,
+                            fusion_type=var.fusion_type),
         decoder=DecoderConfig(embedding_dim=128, hidden_units=(256,),
                               attention_units=128, max_label_length=K,
-                              memory_value_dim=256),
+                              decoder_type=var.decoder_type,
+                              memory_value_dim=var.decoder_value_dim),
         decode=DecodeConfig(beam_width=10, max_decode_length=K),
         train=TrainConfig(compute_dtype="bfloat16"),
     )

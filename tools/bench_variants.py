@@ -33,9 +33,30 @@ import time
 ARMS = {
     # ordered by information value: unmeasured arms first (flagship and
     # reference_dims are already pinned at 42.0 / 47.0 ms in RESULTS.md).
-    # The round-3 sweep measured the single levers; these combined arms
-    # stack the independent winners (xa_fusion -27%, time_reduction -46%)
-    # while keeping the reference's recurrent encoders:
+    # Round-4 top-end arms (VERDICT r3 next #3): (a) v2 at MATCHED
+    # capacity — d_model scaled 512 -> 384 so model FLOPs/step land at the
+    # flagship's ~1.3 TFLOP (2.31 x (384/512)^2 ~= 1.30), replacing the
+    # round-3 "~24 ms at matched compute" extrapolation with a number;
+    # (b) the FULLY-composed scan-free stack — transformer encoders +
+    # time reduction + cross-attention fusion + transformer decoder —
+    # removing the last BiLSTM scans that xa_tr_xfdec still carries;
+    # (c) the same at matched capacity, the <15 ms/step candidate.
+    "v2_matched": {"AVSR_BENCH_XF": "384,3,8",
+                   "AVSR_BENCH_XF_VIDEO": "384,1,8",
+                   "AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                   "AVSR_BENCH_DECODER_TYPE": "transformer"},
+    "v2_tr": {"AVSR_BENCH_XF": "512,3,8",
+              "AVSR_BENCH_XF_VIDEO": "512,1,8",
+              "AVSR_BENCH_TIME_REDUCTION": "1,2,2",
+              "AVSR_BENCH_FUSION_TYPE": "cross_attention",
+              "AVSR_BENCH_DECODER_TYPE": "transformer"},
+    "v2_matched_tr": {"AVSR_BENCH_XF": "384,3,8",
+                      "AVSR_BENCH_XF_VIDEO": "384,1,8",
+                      "AVSR_BENCH_TIME_REDUCTION": "1,2,2",
+                      "AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                      "AVSR_BENCH_DECODER_TYPE": "transformer"},
+    # Round-3 combined arms stacking the measured single winners
+    # (xa_fusion -27%, time_reduction -46%) on the recurrent encoders:
     "xa_tr": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
               "AVSR_BENCH_TIME_REDUCTION": "1,2,2"},
     "xa_xfdec": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",

@@ -1,0 +1,218 @@
+"""Corpus-scale quality campaign: the lrs2_av_fast/v2 promotion gate.
+
+VERDICT r3 next #1: the fast/v2 model families were promoted on toy-scale
+evidence (a 48-utterance, 6-char-alphabet overfit corpus where every AV arm
+hits 0.0 CER).  This campaign is the harder, *held-out* version that makes
+the comparison meaningful:
+
+  * corpus: 16-char alphabet, 6-32 chars per utterance (~0.7-3.8 s), 256
+    train / 80 HELD-OUT eval utterances (different seed — generalization,
+    not memorization);
+  * training with on-device noise mixing (SNR 0/10 dB, 30% clean), the
+    reference's robustness recipe [BASELINE.json:configs[3]];
+  * eval: the full noise matrix {clean, 10, 0, -5 dB} decoded with
+    width-10 beam search (the reference's decode protocol, BASELINE.md §C);
+  * arms: audio-only baseline, AV-Align at reference mechanism/dims
+    (scaled), the lrs2_av_fast lever stack (cross-attention fusion + time
+    reduction + decoder value projection, mirroring the preset's structure),
+    and the lrs2_av_v2 scan-free family.
+
+Gates printed per AV arm (tolerance 0.02 absolute CER):
+  ordering  — arm CER <= audio-only CER + tol on the noisy conditions
+              (the papers' headline behavior, arXiv:1809.01728);
+  parity    — arm CER <= av_ref CER + tol on EVERY condition (the
+              fast/v2 promotion gate: no quality regression vs the
+              reference mechanism).
+
+Resumable: each arm trains under /tmp/campaign_<arm> with
+try_restore_latest_checkpoint=True and results merge into CAMPAIGN.json
+per arm — rerunning skips/extends finished arms.
+
+Usage: python tools/quality_campaign.py [--epochs N] [arm ...]
+CPU-only (many small distinct programs; remote TPU compiles would
+dominate).  Full run is several hours on this 1-core host.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+TOL = 0.02
+SNRS = (None, 10.0, 0.0, -5.0)
+NOISY = ["0dB", "-5dB"]
+
+
+def build_arms():
+    from avsr_tpu.configs import (
+        AudioFrontendConfig, DataConfig, DecodeConfig, DecoderConfig,
+        EncoderConfig, ExperimentConfig, FusionConfig, NoiseConfig,
+        TrainConfig, VideoFrontendConfig,
+    )
+
+    def cfg_for(arch):
+        return ExperimentConfig(
+            architecture=arch,
+            audio=AudioFrontendConfig(num_mel_bins=12, fft_length=256,
+                                      frame_stacking=3, frame_skipping=3,
+                                      add_deltas=False),
+            video=VideoFrontendConfig(roi_height=24, roi_width=24,
+                                      conv_channels=(4, 8), embedding_dim=24),
+            audio_encoder=EncoderConfig(hidden_units=(48,), bidirectional=True,
+                                        dropout_rate=0.0),
+            video_encoder=EncoderConfig(hidden_units=(32,), bidirectional=True,
+                                        dropout_rate=0.0),
+            fusion=FusionConfig(attention_units=24),
+            decoder=DecoderConfig(embedding_dim=16, hidden_units=(48,),
+                                  attention_units=24, max_label_length=34,
+                                  dropout_rate=0.0),
+            noise=NoiseConfig(enabled=True, snr_db=(0.0, 10.0),
+                              clean_probability=0.3),
+            data=DataConfig(batch_size=8,
+                            audio_bucket_boundaries=(130, 260, 390),
+                            max_label_length=34),
+            train=TrainConfig(learning_rate=5e-3, compute_dtype="float32",
+                              eval_every_epochs=1000),
+            decode=DecodeConfig(beam_width=10, max_decode_length=34),
+            name=f"campaign_{arch}",
+        )
+
+    base = cfg_for("av_align")
+    return {
+        "audio": cfg_for("audio"),
+        # the reference mechanism at these dims — the parity anchor
+        "av_ref": base,
+        # lrs2_av_fast's structure scaled down: cross-attention fusion +
+        # (1,2) audio time reduction + value-projected decoder memory
+        "av_fast": dataclasses.replace(
+            base,
+            audio_encoder=EncoderConfig(
+                hidden_units=(48, 48), time_reduction=(1, 2),
+                bidirectional=True, dropout_rate=0.0),
+            fusion=FusionConfig(fusion_type="cross_attention", num_heads=4,
+                                attention_units=24),
+            decoder=dataclasses.replace(base.decoder, memory_value_dim=48),
+        ),
+        # lrs2_av_v2's structure scaled down: fully scan-free
+        "av_v2": dataclasses.replace(
+            base,
+            audio_encoder=EncoderConfig(
+                hidden_units=(48,), encoder_type="transformer", num_heads=4,
+                dropout_rate=0.0),
+            video_encoder=EncoderConfig(
+                hidden_units=(32,), encoder_type="transformer", num_heads=4,
+                dropout_rate=0.0),
+            fusion=FusionConfig(fusion_type="cross_attention", num_heads=4,
+                                attention_units=24),
+            decoder=DecoderConfig(decoder_type="transformer",
+                                  embedding_dim=16, hidden_units=(48,),
+                                  num_heads=4, attention_units=24,
+                                  max_label_length=34, dropout_rate=0.0),
+        ),
+    }
+
+
+def main():
+    from avsr_tpu.avsr import AVSR
+    from avsr_tpu.data.synthetic import SyntheticSpec, generate, make_noise_bank
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--epochs", type=int, default=36)
+    parser.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CAMPAIGN.json"))
+    parser.add_argument("arms", nargs="*",
+                        help="arm names to run (default: all)")
+    args = parser.parse_args()
+
+    corpus_spec = dict(min_chars=6, max_chars=32, alphabet="abcdefghijklmnop",
+                       char_duration_s=0.12, roi=24)
+    train_data = generate(SyntheticSpec(
+        num_utterances=256, seed=21, **corpus_spec))
+    eval_data = generate(SyntheticSpec(
+        num_utterances=80, seed=22, **corpus_spec))  # HELD OUT
+    bank = make_noise_bank(num_rows=4, row_samples=60_000, seed=3)
+
+    arms = build_arms()
+    selected = args.arms or list(arms)
+    unknown = set(selected) - set(arms)
+    if unknown:
+        raise SystemExit(f"unknown arm(s): {sorted(unknown)}")
+
+    results = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f).get("arms", {})
+
+    for name in selected:
+        cfg = arms[name]
+        t0 = time.time()
+        avsr = AVSR(config=cfg, run_dir=f"/tmp/campaign_{name}",
+                    train_utterances=train_data, eval_utterances=eval_data,
+                    noise_bank=bank)
+        avsr.train(num_epochs=args.epochs,
+                   try_restore_latest_checkpoint=True)
+        train_s = time.time() - t0
+        t1 = time.time()
+        matrix = avsr.evaluate_noise_matrix(SNRS, use_beam=True)
+        results[name] = {
+            "cer": {cond: round(v["cer"], 4) for cond, v in matrix.items()},
+            "wer": {cond: round(v["wer"], 4) for cond, v in matrix.items()},
+            "epochs": args.epochs, "train_s": round(train_s, 1),
+            "eval_s": round(time.time() - t1, 1),
+        }
+        payload = {
+            "protocol": {
+                "corpus": dict(corpus_spec, train_utts=256, eval_utts=80,
+                               held_out_eval=True),
+                "beam_width": 10, "snrs": ["clean", 10.0, 0.0, -5.0],
+                "tolerance_abs_cer": TOL,
+            },
+            "arms": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
+        print(json.dumps({name: results[name]}), flush=True)
+
+    # ---- gates ----
+    if "audio" not in results or "av_ref" not in results:
+        print("# gates skipped: need audio + av_ref arms on file")
+        return 0
+    a = results["audio"]["cer"]
+    ref = results["av_ref"]["cer"]
+    failed = False
+    gates = {}
+    for name in [k for k in results if k not in ("audio",)]:
+        av = results[name]["cer"]
+        ordering = all(av[c] <= a[c] + TOL for c in NOISY)
+        parity = all(av[c] <= ref[c] + TOL for c in av)
+        gates[name] = {"ordering": ordering, "parity": parity}
+        print(f"# {name}: ordering(noisy AV<=audio+{TOL})="
+              f"{'PASS' if ordering else 'FAIL'} "
+              f"parity(<=av_ref+{TOL} all conds)="
+              f"{'PASS' if parity else 'FAIL'}")
+        if name != "av_ref":
+            failed = failed or not (ordering and parity)
+    with open(args.out) as f:
+        payload = json.load(f)
+    payload["gates"] = gates
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
