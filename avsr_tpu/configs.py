@@ -597,22 +597,26 @@ def lrs2_av_fast() -> ExperimentConfig:
     memory-bandwidth floor: one removes the per-step Bahdanau energy
     scan, the other quarters the memory length it streams.  Quality
     gates: combined overfit suite (tests/test_time_reduction.py
-    ``test_overfit_fast_combo``) plus each lever's own gate; scheduled
-    sampling, beam decode, serving, and the data pipeline are identical
-    to lrs2_av_align.  Measured combination numbers live in
-    BENCH_variants.json (arm ``xa_tr``); the dims here match that
-    benched arm EXACTLY (fusion per-head dim 128 x 4 heads, 256-dim
-    value projection on BOTH attention memories — bench.py's knob
-    defaults), so the preset runs at the advertised number."""
+    ``test_overfit_fast_combo``) plus the round-4 held-out quality
+    campaign (CAMPAIGN.json arm ``av_fast_novdim``: ordering AND parity
+    vs the reference mechanism, width-10 beam, full noise matrix).  The
+    campaign showed the 256-dim value down-projection FAILS held-out
+    parity (arm ``av_fast``: +0.03-0.04 absolute CER on every
+    condition), so this preset does NOT project the attention values —
+    ``memory_value_dim`` stays an opt-in perf knob for users who
+    re-validate it on their corpus.  Scheduled sampling, beam decode,
+    serving, and the data pipeline are identical to lrs2_av_align.
+    Measured numbers live in BENCH_variants.json (arm ``xa_tr_novdim``;
+    the dims here match that benched arm exactly — fusion per-head dim
+    128 x 4 heads, full-width values)."""
     base = lrs2_full()
     return base.replace(
         audio_encoder=dataclasses.replace(
             base.audio_encoder, time_reduction=(1, 2, 2)),
         fusion=FusionConfig(
             fusion_type="cross_attention", num_heads=4, attention_units=128,
-            memory_value_dim=256, au_loss_weight=10.0,
+            au_loss_weight=10.0,
         ),
-        decoder=dataclasses.replace(base.decoder, memory_value_dim=256),
         name="lrs2_av_fast",
     )
 

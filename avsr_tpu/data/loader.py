@@ -271,7 +271,13 @@ class BucketingLoader:
             for j, u in enumerate(batch_utts):
                 w = u.waveform
                 n = min(len(w), S)
-                if len(w) > S:
+                if len(w) > S and (
+                    (len(w) - self.frame_length) // self.frame_step
+                    > (S - self.frame_length) // self.frame_step
+                ):
+                    # warn only when whole FRAMES are lost: a sub-frame
+                    # sample tail (bucket capacities are frame-aligned,
+                    # waveforms are not) never reaches the frontend anyway
                     self._warn_truncation("audio", u.uid, len(w), S)
                 wav[j, :n] = w[:n]
                 wlen[j] = n

@@ -1,4 +1,4 @@
-"""Benchmark harness: train frames/sec/chip on the flagship AV-Align model.
+"""Benchmark harness: train frames/sec/chip on the flagship AV model.
 
 Protocol (BASELINE.md §C): frames/sec/chip = (10 ms audio frames consumed
 per step x steps/sec) / chips, measured over steady-state steps after
@@ -13,7 +13,21 @@ Timing protocol notes (hard-won, see CLAUDE.md):
     runs (no per-step sync).  Per-step-synced timing would charge the relay
     latency to every step.
 
-``vs_baseline`` divides by TF1_CPU_BASELINE_FPS, which is now MEASURED on
+Benched model (round 4): the ``lrs2_av_fast`` preset config — recurrent
+encoders/decoder with cross-attention fusion + (1,2,2) pyramidal time
+reduction, full-width attention values — the fastest arm that holds the
+corpus-scale quality gates (CAMPAIGN.json: held-out noise-matrix CER at
+width-10 beam, ordering AND parity vs the reference mechanism; the
+value-projected arm ran faster but FAILED held-out parity and was not
+promoted; RESULTS.md round 4).  The same run ALSO measures the
+reference-dims parity model (paper dims, AV-Align fusion scan, no value
+projection) and reports it in the same JSON line under
+``reference_dims`` — the honest parity-dims number next to the headline.
+
+When any AVSR_BENCH_* variant knob is set (tools/bench_variants.py sweep
+arms), only that single variant is measured, exactly as before.
+
+``vs_baseline`` divides by TF1_CPU_BASELINE_FPS, which is MEASURED on
 this host (round 4, tools/baseline_tf1.py; artifact BASELINE_tf1.json):
 a TF1 graph-mode AV-Align train step at these exact shapes — in-graph
 tf.signal frontend, dynamic_rnn BiLSTM encoders, hand-rolled
@@ -23,12 +37,13 @@ size is used, generous to the baseline).  BASELINE.json records
 ``"published": {}`` (SURVEY.md §6), so this measured stand-in IS the
 operative ">=5x TF1-CPU" denominator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -46,10 +61,7 @@ WARMUP_STEPS = 5
 MEASURE_STEPS = 30
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
-
+def _build_cfg(var, name: str):
     from avsr_tpu.configs import (
         AudioFrontendConfig,
         DecoderConfig,
@@ -58,21 +70,8 @@ def main() -> None:
         TrainConfig,
         VideoFrontendConfig,
     )
-    from avsr_tpu.models.seq2seq import Batch
-    from avsr_tpu.train import step as step_lib
 
-    # A/B environment knobs (perf experiments), parsed by the shared
-    # avsr_tpu.utils.bench_knobs module (see its docstring for the list).
-    # Flagship defaults adopt the measured round-3 winners: 256-dim value
-    # down-projection on the fusion AND decoder attention memories (47.02
-    # -> 42.0 ms/step, the only lever that beats the value-streaming
-    # bandwidth floor; quality gated by the overfit test
-    # tests/test_train_loop.py).  Set the VDIM knobs =0 for the
-    # unprojected reference-parity model (paper dims).
-    from avsr_tpu.utils.bench_knobs import variant_from_env
-
-    var = variant_from_env()
-    cfg = ExperimentConfig(
+    return ExperimentConfig(
         architecture="av_align",
         audio=AudioFrontendConfig(),  # 30 mel + deltas, stack 8 skip 3
         video=VideoFrontendConfig(),
@@ -91,8 +90,58 @@ def main() -> None:
                               memory_value_dim=var.decoder_value_dim),
         train=TrainConfig(compute_dtype="bfloat16",
                           fuse_encoder_scans=var.fuse_encoder_scans),
-        name="bench_av_align",
+        name=name,
     )
+
+
+def _promoted_variant():
+    """The benched flagship: lrs2_av_fast's structure at bench dims
+    (= sweep arm ``xa_tr_novdim``; campaign-gated, see module
+    docstring — the vdim-projected ``xa_tr`` arm failed held-out
+    parity, CAMPAIGN.json)."""
+    from avsr_tpu.configs import EncoderConfig
+    from avsr_tpu.utils.bench_knobs import BenchVariant
+
+    return BenchVariant(
+        fuse_encoder_scans=False,
+        fusion_value_dim=None,
+        decoder_value_dim=None,
+        time_reduction=(1, 2, 2),
+        audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
+                                    bidirectional=True, dropout_rate=0.1,
+                                    time_reduction=(1, 2, 2)),
+        video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
+        fusion_type="cross_attention",
+        decoder_type="rnn",
+    )
+
+
+def _reference_dims_variant():
+    """Paper dims, AV-Align fusion scan, no value projection — the
+    reference-parity model (sweep arm ``reference_dims``)."""
+    from avsr_tpu.configs import EncoderConfig
+    from avsr_tpu.utils.bench_knobs import BenchVariant
+
+    return BenchVariant(
+        fuse_encoder_scans=False,
+        fusion_value_dim=None,
+        decoder_value_dim=None,
+        time_reduction=None,
+        audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
+                                    bidirectional=True, dropout_rate=0.1),
+        video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
+        fusion_type="av_align",
+        decoder_type="rnn",
+    )
+
+
+def measure(cfg) -> dict:
+    """Compile + warm + chained-pipeline-time one train-step program."""
+    import jax
+    import jax.numpy as jnp
+
+    from avsr_tpu.models.seq2seq import Batch
+    from avsr_tpu.train import step as step_lib
 
     rng = np.random.default_rng(0)
     S = int(16000 * SECONDS)
@@ -105,7 +154,8 @@ def main() -> None:
             )
         ),
         video_lengths=jnp.asarray([VIDEO_FRAMES] * BATCH, jnp.int32),
-        targets=jnp.asarray(rng.integers(3, VOCAB, (BATCH, LABEL_LEN)), jnp.int32),
+        targets=jnp.asarray(rng.integers(3, VOCAB, (BATCH, LABEL_LEN)),
+                            jnp.int32),
         target_lengths=jnp.asarray([LABEL_LEN] * BATCH, jnp.int32),
     )
 
@@ -147,19 +197,41 @@ def main() -> None:
     peak = peak_flops_of(jax.devices()[0])
     mfu_pct = flops["total"] / (dt / MEASURE_STEPS) / peak * 100.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_frames_per_sec_per_chip",
-                "value": round(fps_per_chip, 1),
-                "unit": "10ms audio frames/sec/chip (AV-Align train step)",
-                "vs_baseline": round(fps_per_chip / TF1_CPU_BASELINE_FPS, 2),
-                "ms_per_step": round(ms_per_step, 2),
-                "model_flops_per_step": round(flops["total"]),
-                "mfu_pct": round(mfu_pct, 2),
-            }
-        )
-    )
+    return {
+        "value": round(fps_per_chip, 1),
+        "vs_baseline": round(fps_per_chip / TF1_CPU_BASELINE_FPS, 2),
+        "ms_per_step": round(ms_per_step, 2),
+        "model_flops_per_step": round(flops["total"]),
+        "mfu_pct": round(mfu_pct, 2),
+    }
+
+
+def main() -> None:
+    if any(k.startswith("AVSR_BENCH_") for k in os.environ):
+        # Sweep-arm mode (tools/bench_variants.py): one variant from the
+        # env knobs, exactly the historical single-line behavior.
+        from avsr_tpu.utils.bench_knobs import variant_from_env
+
+        res = measure(_build_cfg(variant_from_env(), "bench_variant"))
+        print(json.dumps({
+            "metric": "train_frames_per_sec_per_chip",
+            "unit": "10ms audio frames/sec/chip (AV train step)",
+            **res,
+        }))
+        return
+
+    # Default (driver) mode: the promoted lrs2_av_fast flagship is the
+    # headline; the reference-dims parity model is measured in the same
+    # run and reported alongside (VERDICT r3 next #1).
+    fast = measure(_build_cfg(_promoted_variant(), "bench_av_fast"))
+    ref = measure(_build_cfg(_reference_dims_variant(), "bench_av_align"))
+    print(json.dumps({
+        "metric": "train_frames_per_sec_per_chip",
+        "unit": ("10ms audio frames/sec/chip (lrs2_av_fast train step; "
+                 "campaign quality-gated — CAMPAIGN.json)"),
+        **fast,
+        "reference_dims": ref,
+    }))
 
 
 if __name__ == "__main__":

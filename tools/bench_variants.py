@@ -59,6 +59,13 @@ ARMS = {
     # (xa_fusion -27%, time_reduction -46%) on the recurrent encoders:
     "xa_tr": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
               "AVSR_BENCH_TIME_REDUCTION": "1,2,2"},
+    # xa_tr WITHOUT the value down-projections: the arm that passes the
+    # round-4 held-out quality campaign (CAMPAIGN.json: av_fast_novdim
+    # parity PASS, av_fast w/ vdim parity FAIL) — the promotion candidate.
+    "xa_tr_novdim": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                     "AVSR_BENCH_TIME_REDUCTION": "1,2,2",
+                     "AVSR_BENCH_FUSION_VDIM": "0",
+                     "AVSR_BENCH_DECODER_VDIM": "0"},
     "xa_xfdec": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
                  "AVSR_BENCH_DECODER_TYPE": "transformer"},
     "xa_tr_xfdec": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
@@ -71,7 +78,10 @@ ARMS = {
     "time_reduction": {"AVSR_BENCH_TIME_REDUCTION": "1,2,2"},
     "xf_encoder": {"AVSR_BENCH_XF": "512,3,8"},
     "xa_fusion": {"AVSR_BENCH_FUSION_TYPE": "cross_attention"},
-    "flagship": {},
+    # explicit knobs (not {}): an empty env now selects bench.py's dual
+    # default mode (promoted fast + reference_dims), not this arm
+    "flagship": {"AVSR_BENCH_FUSION_VDIM": "256",
+                 "AVSR_BENCH_DECODER_VDIM": "256"},
     "reference_dims": {"AVSR_BENCH_FUSION_VDIM": "0",
                        "AVSR_BENCH_DECODER_VDIM": "0"},
 }

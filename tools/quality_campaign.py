@@ -104,6 +104,27 @@ def build_arms():
                                 attention_units=24),
             decoder=dataclasses.replace(base.decoder, memory_value_dim=48),
         ),
+        # ---- diagnostic arms: decompose av_fast's levers so a parity
+        # gap can be attributed to ONE lever (round-4 campaign) ----
+        "av_xa": dataclasses.replace(
+            base,
+            fusion=FusionConfig(fusion_type="cross_attention", num_heads=4,
+                                attention_units=24),
+        ),
+        "av_tr": dataclasses.replace(
+            base,
+            audio_encoder=EncoderConfig(
+                hidden_units=(48, 48), time_reduction=(1, 2),
+                bidirectional=True, dropout_rate=0.0),
+        ),
+        "av_fast_novdim": dataclasses.replace(
+            base,
+            audio_encoder=EncoderConfig(
+                hidden_units=(48, 48), time_reduction=(1, 2),
+                bidirectional=True, dropout_rate=0.0),
+            fusion=FusionConfig(fusion_type="cross_attention", num_heads=4,
+                                attention_units=24),
+        ),
         # lrs2_av_v2's structure scaled down: fully scan-free
         "av_v2": dataclasses.replace(
             base,
@@ -121,6 +142,22 @@ def build_arms():
                                   max_label_length=34, dropout_rate=0.0),
         ),
     }
+
+
+def add_v2_warmup(arms):
+    """av_v2 with a warmup-cosine lr schedule: transformers at a constant
+    Adam lr plateau on this corpus (round-4 measurement); this arm tests
+    whether the optimizer schedule — not the architecture — is the gap."""
+    arms["av_v2_warmup"] = dataclasses.replace(
+        arms["av_v2"],
+        # num_epochs pins the cosine horizon (optim.build_schedule);
+        # extending this arm past 150 epochs needs a fresh run dir
+        train=dataclasses.replace(arms["av_v2"].train,
+                                  lr_schedule="warmup_cosine",
+                                  warmup_steps=400, learning_rate=2e-3,
+                                  num_epochs=150),
+    )
+    return arms
 
 
 def main():
@@ -142,9 +179,11 @@ def main():
         num_utterances=256, seed=21, **corpus_spec))
     eval_data = generate(SyntheticSpec(
         num_utterances=80, seed=22, **corpus_spec))  # HELD OUT
-    bank = make_noise_bank(num_rows=4, row_samples=60_000, seed=3)
+    # rows must cover the longest bucket's padded waveform (390 frames
+    # x 160 samples = 62,400 + frame tail)
+    bank = make_noise_bank(num_rows=4, row_samples=80_000, seed=3)
 
-    arms = build_arms()
+    arms = add_v2_warmup(build_arms())
     selected = args.arms or list(arms)
     unknown = set(selected) - set(arms)
     if unknown:
