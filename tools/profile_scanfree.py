@@ -39,9 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PEAK_BF16 = 197e12
 HBM_GBPS = 819e9
+STEPS = int(os.environ.get("AVSR_PROFILE_STEPS", "16"))
 
 
-def timeit(raw_fn, *args, steps=16):
+def timeit(raw_fn, *args, steps=None):
+    steps = steps or STEPS
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +62,8 @@ def timeit(raw_fn, *args, steps=16):
     return (time.perf_counter() - t0) / steps
 
 
-def grad_timeit(raw_fn, *args, steps=16):
+def grad_timeit(raw_fn, *args, steps=None):
+    steps = steps or min(STEPS, 12)
     import jax
     import jax.numpy as jnp
 
@@ -85,9 +88,14 @@ def grad_timeit(raw_fn, *args, steps=16):
     return (time.perf_counter() - t0) / steps
 
 
+DISPATCH_FLOOR_S = 0.0  # measured null-program launch cost, set in main()
+
+
 def row(tag, t_s, flops=None, bytes_=None):
     ms = t_s * 1e3
     parts = [f"{tag:34s} {ms:8.2f} ms"]
+    if DISPATCH_FLOOR_S:
+        parts.append(f"net {max(0.0, (t_s - DISPATCH_FLOOR_S)) * 1e3:6.2f} ms")
     if flops:
         parts.append(f"mxu-floor {flops / PEAK_BF16 * 1e3:6.2f} ms"
                      f" ({flops / PEAK_BF16 / t_s * 100:5.1f}% MXU)")
@@ -152,6 +160,16 @@ def main():
     print(f"# arm: audio_encoder={enc_cfg.encoder_type} d={d} x{n_layers} "
           f"h{heads} tr={enc_cfg.time_reduction} fusion={cfg.fusion.fusion_type} "
           f"decoder={cfg.decoder.decoder_type}  B={B}", flush=True)
+
+    # Every chained jit launch on the axon relay carries a fixed dispatch
+    # cost that dwarfs tiny programs (round-4 probe table: softmax alone ==
+    # layernorm alone == transpose alone ~= 1.6 ms vs 0.02 ms HBM floor).
+    # Measure it with a null program and report every row net of it.
+    global DISPATCH_FLOOR_S
+    t_null = timeit(lambda z: z * 1.0, jnp.ones((8,), jnp.float32))
+    row("null jit (chained dispatch floor)", t_null)
+    DISPATCH_FLOOR_S = t_null
+
     t = timeit(lambda p, b: seq2seq.encode(p, cfg, b,
                                            train=False).memories[0].values,
                params, batch)
@@ -169,11 +187,95 @@ def main():
     key = jax.random.PRNGKey(1)
     state, m = ts(state, batch, key)
     float(m["loss"])
+    n_ts = min(STEPS, 12)
     t0 = time.perf_counter()
-    for _ in range(12):
+    for _ in range(n_ts):
         state, m = ts(state, batch, key)
     float(m["loss"])
-    row("full train step", (time.perf_counter() - t0) / 12)
+    row("full train step", (time.perf_counter() - t0) / n_ts)
+
+    # ---- frontend / encoder / fusion split (works for any arm) ----
+    from avsr_tpu.models import fusion as fus
+    from avsr_tpu.models import video_cnn
+    from avsr_tpu.models.encoder import encoder_apply, encoder_output_lengths
+    from avsr_tpu.ops.audio_features import num_frames
+    from avsr_tpu.ops.audio_features import logmel_frontend
+
+    cdtm = seq2seq.compute_dtype_of(cfg)
+    acfg = cfg.audio
+    F0 = num_frames(S, acfg.frame_length, acfg.frame_step)
+    # windowed rFFT as two MXU matmuls: [B*F0, frame_len] @ [frame_len, bins]
+    dft_flops = 2 * B * F0 * acfg.frame_length * 2 * (acfg.fft_length // 2 + 1)
+    t = timeit(lambda w, l: logmel_frontend(w, l, acfg, compute_dtype=cdtm)[0],
+               batch.audio, batch.audio_lengths)
+    feats, feat_len = jax.jit(
+        lambda w, l: logmel_frontend(w, l, acfg, compute_dtype=cdtm)
+    )(batch.audio, batch.audio_lengths)
+    fe_bytes = batch.audio.nbytes + 2 * feats.size * 4
+    row("audio frontend (fwd)", t, flops=dft_flops, bytes_=fe_bytes)
+
+    t = timeit(lambda p, v, l: video_cnn.video_cnn_apply(
+        p, cfg.video, v, l, compute_dtype=cdtm)[0],
+        params["video_frontend"], batch.video, batch.video_lengths)
+    row("video frontend CNN (fwd)", t)
+    v_emb, v_len = jax.jit(lambda p, v, l: video_cnn.video_cnn_apply(
+        p, cfg.video, v, l, compute_dtype=cdtm))(
+        params["video_frontend"], batch.video, batch.video_lengths)
+
+    feats_tb = jnp.transpose(feats, (1, 0, 2))
+    v_tb = jnp.transpose(v_emb, (1, 0, 2))
+    Tfe = feats.shape[1]
+
+    aenc_flops = None
+    if is_xf:
+        # per layer: q/k/v/o proj 8BTd^2 + attn einsums 4BT^2d + ff 16BTd^2
+        aenc_flops, T_i = 0, Tfe
+        tr = enc_cfg.time_reduction or (1,) * n_layers
+        for i in range(n_layers):
+            T_i = max(1, T_i // (tr[i] if i < len(tr) else 1))
+            aenc_flops += 24 * B * T_i * d * d + 4 * B * T_i * T_i * d
+
+    def aenc(p, x, l):
+        return encoder_apply(p, cfg.audio_encoder, x, l,
+                             compute_dtype=cdtm)[0]
+
+    t = timeit(aenc, params["audio_encoder"], feats_tb, feat_len)
+    row("audio encoder stack (fwd)", t, flops=aenc_flops)
+    t = grad_timeit(aenc, params["audio_encoder"], feats_tb, feat_len,
+                    steps=12)
+    row("audio encoder stack (grad)", t,
+        flops=aenc_flops * 3 if aenc_flops else None)
+
+    def venc(p, x, l):
+        return encoder_apply(p, cfg.video_encoder, x, l, compute_dtype=cdtm)[0]
+
+    t = timeit(venc, params["video_encoder"], v_tb, v_len)
+    row("video encoder stack (fwd)", t)
+
+    if cfg.architecture == "av_align":
+        audio_out_tb = jax.jit(aenc)(params["audio_encoder"], feats_tb,
+                                     feat_len)
+        video_out_tb = jax.jit(venc)(params["video_encoder"], v_tb, v_len)
+        a_len = encoder_output_lengths(cfg.audio_encoder, feat_len)
+        v_len2 = encoder_output_lengths(cfg.video_encoder, v_len)
+        video_mem = jnp.transpose(video_out_tb, (1, 0, 2))
+        fusion_apply = (
+            fus.cross_attention_fusion_apply
+            if cfg.fusion.fusion_type == "cross_attention"
+            else fus.av_align_apply
+        )
+
+        def fuse(p, a, v):
+            return fusion_apply(p, cfg.fusion, a, a_len, v, v_len2,
+                                compute_dtype=cdtm).fused
+
+        t = timeit(fuse, params["fusion"], audio_out_tb, video_mem)
+        row(f"{cfg.fusion.fusion_type} fusion (fwd)", t)
+        t = grad_timeit(fuse, params["fusion"], audio_out_tb, video_mem,
+                        steps=12)
+        row(f"{cfg.fusion.fusion_type} fusion (grad)", t)
+    print("# decoder+CE fwd ~= loss(fwd) - encode(fwd); optimizer ~= "
+          "train_step - grad", flush=True)
 
     if not is_xf:
         print("# (op-class probes need a transformer audio encoder; set "
