@@ -55,6 +55,15 @@ ARMS = {
                       "AVSR_BENCH_TIME_REDUCTION": "1,2,2",
                       "AVSR_BENCH_FUSION_TYPE": "cross_attention",
                       "AVSR_BENCH_DECODER_TYPE": "transformer"},
+    # Round-4 counter-experiment (VERDICT r3 next #4): same arm with 6
+    # heads instead of 8, so the per-head dim is the 64-lane-aligned 64
+    # instead of 48 (identical FLOPs — H x dh == d either way).  Measured
+    # -5% step time / +1.3 MFU points: head-dim lane alignment is real.
+    "v2_matched_tr_h6": {"AVSR_BENCH_XF": "384,3,6",
+                         "AVSR_BENCH_XF_VIDEO": "384,1,6",
+                         "AVSR_BENCH_TIME_REDUCTION": "1,2,2",
+                         "AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                         "AVSR_BENCH_DECODER_TYPE": "transformer"},
     # Round-3 combined arms stacking the measured single winners
     # (xa_fusion -27%, time_reduction -46%) on the recurrent encoders:
     "xa_tr": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
