@@ -182,9 +182,17 @@ def transformer_encoder_apply(
         # -- self-attention block (pre-LN) --
         y = _layer_norm(h, layer["ln1_scale"], layer["ln1_bias"]).astype(cdt)
         yb = jnp.transpose(y, (1, 0, 2))  # [B, T, d]
-        q = (yb @ layer["wq"].astype(cdt)).reshape(B, Tl, n_heads, dh)
-        k = (yb @ layer["wk"].astype(cdt)).reshape(B, Tl, n_heads, dh)
-        v = (yb @ layer["wv"].astype(cdt)).reshape(B, Tl, n_heads, dh)
+        # One [d, 3d] matmul instead of three [d, d]: triples the MXU
+        # tile count in N (the d=384 layers run K,N <= 3 tiles — the
+        # family's measured bound, RESULTS.md round 4).  Params stay
+        # separate (checkpoint layout unchanged); the concat is a 3-tile
+        # copy and each output column block is bitwise-identical to the
+        # separate matmuls.
+        wqkv = jnp.concatenate(
+            [layer["wq"].astype(cdt), layer["wk"].astype(cdt),
+             layer["wv"].astype(cdt)], axis=1)
+        qkv = (yb @ wqkv).reshape(B, Tl, 3, n_heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         # [B, H, Tq, Tk] energies; padded KEYS masked before softmax (fp32)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         scores = scores / np.sqrt(dh)
