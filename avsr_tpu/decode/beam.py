@@ -100,7 +100,8 @@ def beam_search(
     tiled = [_tile_memory(m, W) for m in memories]
 
     state0 = dec.initial_state(cfg, B * W, memory_dims,
-                               max_length=max_length)
+                               max_length=max_length,
+                               compute_dtype=compute_dtype)
     cross_kv = dec.prepare_cross(params, cfg, tiled,
                                  compute_dtype=compute_dtype)
     tok0 = jnp.full((B, W), GO_ID, jnp.int32)

@@ -36,7 +36,8 @@ def greedy_decode(
     # decode/beam.py _tile_memory).
     memories = jax.lax.optimization_barrier(list(memories))
     memory_dims = [m.values.shape[-1] for m in memories]
-    state0 = dec.initial_state(cfg, B, memory_dims, max_length=max_length)
+    state0 = dec.initial_state(cfg, B, memory_dims, max_length=max_length,
+                               compute_dtype=compute_dtype)
     cross_kv = dec.prepare_cross(params, cfg, memories,
                                  compute_dtype=compute_dtype)
     tok0 = jnp.full((B,), GO_ID, jnp.int32)

@@ -93,6 +93,7 @@ def decoder_init(
 def initial_state(
     cfg: DecoderConfig, batch: int, memory_dims: Sequence[int],
     max_length: Optional[int] = None,
+    compute_dtype=jnp.float32,
 ):
     if cfg.decoder_type == "transformer":
         from avsr_tpu.models import transformer_decoder as tdec
@@ -102,7 +103,8 @@ def initial_state(
                 "transformer decoder state needs max_length (KV cache "
                 "horizon); the decode engines pass their static horizon"
             )
-        return tdec.initial_cache(cfg, batch, max_length)
+        return tdec.initial_cache(cfg, batch, max_length,
+                                  dtype=compute_dtype)
     lstm = tuple(
         (jnp.zeros((batch, h), jnp.float32), jnp.zeros((batch, h), jnp.float32))
         for h in cfg.hidden_units

@@ -172,13 +172,22 @@ def prepare_cross(
 
 
 def initial_cache(
-    cfg: DecoderConfig, batch: int, max_length: int
+    cfg: DecoderConfig, batch: int, max_length: int,
+    dtype=jnp.float32,
 ) -> TransformerDecoderState:
+    """KV caches for autoregressive decode.
+
+    ``dtype`` should be the model's compute dtype: the cached k/v are
+    the outputs of compute-dtype matmuls, so storing them wider loses
+    nothing numerically while doubling the per-step cache read AND
+    paying a full-cache cast every step (measured: the v2 decode loop
+    is cache-traffic bound at ~6.3 ms/step with fp32 caches at
+    B=128 x width 10, L=150 — RESULTS.md round 4)."""
     d = cfg.hidden_units[0]
     caches = tuple(
         (
-            jnp.zeros((batch, max_length, d), jnp.float32),
-            jnp.zeros((batch, max_length, d), jnp.float32),
+            jnp.zeros((batch, max_length, d), dtype),
+            jnp.zeros((batch, max_length, d), dtype),
         )
         for _ in cfg.hidden_units
     )
@@ -231,22 +240,33 @@ def decode_step(
     L = state.caches[0][0].shape[1]
     pe = _sinusoidal_pe(L, d)
     pos = jnp.clip(state.step, 0, L - 1)
+    # INVARIANT: every decode engine keeps a SHARED position across rows
+    # (step starts at zeros and increments by one for all rows; the beam
+    # reorder permutes equal values), so the cache insert can be a single
+    # dynamic_update_slice instead of an N-row scatter — XLA lowers the
+    # scatter as a full-cache rewrite (~2x cache bytes per step at
+    # B=128 x width 10; RESULTS.md round 4).
+    pos0 = pos[0]
 
     emb = params["embedding"][tokens]  # [N, E]
     h = (emb.astype(cdt) @ params["in_proj"].astype(cdt)).astype(jnp.float32)
     h = h * np.sqrt(d) + jnp.take(pe, pos, axis=0)
 
-    rows = jnp.arange(N)
     new_caches: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
     for layer, (k_cache, v_cache), cross_keys in zip(
         params["layers"], state.caches, cross_kv
     ):
         y = _layer_norm(h, layer["ln1_scale"], layer["ln1_bias"]).astype(cdt)
         q = (y @ layer["wq"].astype(cdt)).reshape(N, nh, dh)
-        k = (y @ layer["wk"].astype(cdt)).astype(jnp.float32)
-        v = (y @ layer["wv"].astype(cdt)).astype(jnp.float32)
-        k_cache = k_cache.at[rows, pos].set(k)
-        v_cache = v_cache.at[rows, pos].set(v)
+        # k/v are compute-dtype values; store them at the CACHE's dtype
+        # (the decode engines allocate compute-dtype caches — exact, and
+        # it halves the per-step cache traffic vs fp32 storage).
+        k = y @ layer["wk"].astype(cdt)
+        v = y @ layer["wv"].astype(cdt)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k.astype(k_cache.dtype)[:, None, :], pos0, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v.astype(v_cache.dtype)[:, None, :], pos0, axis=1)
         new_caches.append((k_cache, v_cache))
         kh = k_cache.astype(cdt).reshape(N, L, nh, dh)
         vh = v_cache.astype(cdt).reshape(N, L, nh, dh)

@@ -157,6 +157,16 @@ def add_v2_warmup(arms):
                                   warmup_steps=400, learning_rate=2e-3,
                                   num_epochs=150),
     )
+    # Round-4 follow-up: is the remaining ~0.05 CER v2 gap an epoch-budget
+    # artifact?  Same arm with a 300-epoch cosine horizon (fresh run dir —
+    # the horizon is baked into the schedule).  Run with --epochs 300.
+    arms["av_v2_warmup300"] = dataclasses.replace(
+        arms["av_v2"],
+        train=dataclasses.replace(arms["av_v2"].train,
+                                  lr_schedule="warmup_cosine",
+                                  warmup_steps=400, learning_rate=2e-3,
+                                  num_epochs=300),
+    )
     return arms
 
 
