@@ -106,6 +106,32 @@ def test_parallel_teacher_forcing_equals_sequential_decode():
     )
 
 
+def test_kv_caches_adopt_compute_dtype():
+    """Perf invariant (RESULTS.md round 4): KV caches store the compute
+    dtype — fp32 caches of bf16-computed k/v doubled decode cache
+    traffic and paid a full-cache cast per step (937.9 -> 556.3 ms on
+    the B=128 full-horizon eval).  Also pins the decode_step contract:
+    writes land at the shared position and stay in the cache's dtype."""
+    import avsr_tpu.models.transformer_decoder as tdec
+
+    for cdt in (jnp.float32, jnp.bfloat16):
+        state = dec.initial_state(TCFG, 2, [6], max_length=MAXLEN,
+                                  compute_dtype=cdt)
+        assert all(k.dtype == cdt and v.dtype == cdt
+                   for k, v in state.caches)
+        params = dec.decoder_init(jax.random.PRNGKey(1), TCFG, [6], V)
+        mem = _mem(params, TCFG)
+        state, _ = tdec.decode_step(
+            params, TCFG, jnp.full((2,), GO_ID, jnp.int32), state, [mem],
+            compute_dtype=cdt,
+        )
+        assert all(k.dtype == cdt and v.dtype == cdt
+                   for k, v in state.caches)
+        # position 0 written, later positions still zero
+        assert np.any(np.asarray(state.caches[0][0][:, 0], np.float32))
+        assert not np.any(np.asarray(state.caches[0][0][:, 1:], np.float32))
+
+
 def test_beam_equals_exhaustive_with_transformer_decoder():
     """Same exhaustive toy-vocabulary bar as the RNN beam test."""
     from tests.test_beam import exhaustive_best
