@@ -562,7 +562,11 @@ def lrs2_av_v2() -> ExperimentConfig:
     (tests/test_transformer_encoder.py, tests/test_cross_attention_
     fusion.py, tests/test_transformer_decoder.py) — corpus-scale WER
     unvalidated, measure against lrs2_av_align on your data before
-    adopting.  No scheduled sampling (rejected for the parallel decoder)."""
+    adopting.  No scheduled sampling (rejected for the parallel decoder).
+    Training recipe (held-out campaign, RESULTS.md "v2 quality
+    follow-up 2"): warmup-cosine is REQUIRED (constant lr plateaus) and
+    this preset's dropout 0.1 is load-bearing (cuts the held-out CER gap
+    ~3x); label smoothing measurably HURT CER on that corpus."""
     base = lrs2_full()
     return base.replace(
         audio_encoder=EncoderConfig(

@@ -80,6 +80,15 @@ ARMS = {
     "xa_tr_xfdec": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
                     "AVSR_BENCH_TIME_REDUCTION": "1,2,2",
                     "AVSR_BENCH_DECODER_TYPE": "transformer"},
+    # xa_tr_xfdec WITHOUT value down-projections (the sweep default is
+    # vdim=256, which FAILS the held-out campaign): the only structure
+    # faster than the promoted flagship that can also hold a quality
+    # gate (campaign arm av_fast_xfdec).  Promotion candidate #2.
+    "xa_tr_xfdec_novdim": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                           "AVSR_BENCH_TIME_REDUCTION": "1,2,2",
+                           "AVSR_BENCH_DECODER_TYPE": "transformer",
+                           "AVSR_BENCH_FUSION_VDIM": "0",
+                           "AVSR_BENCH_DECODER_VDIM": "0"},
     "v2_scanfree": {"AVSR_BENCH_XF": "512,3,8",
                     "AVSR_BENCH_XF_VIDEO": "512,1,8",
                     "AVSR_BENCH_FUSION_TYPE": "cross_attention",

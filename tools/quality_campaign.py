@@ -167,6 +167,48 @@ def add_v2_warmup(arms):
                                   warmup_steps=400, learning_rate=2e-3,
                                   num_epochs=300),
     )
+    # Round-4 follow-up 2: the 300-epoch arm got WORSE (more training ->
+    # lower quality = overfitting), and unlike the full-scale lrs2_av_v2
+    # preset (dropout 0.1) the campaign arms train UNregularized.  These
+    # arms test regularization as the gap: label smoothing, dropout (the
+    # preset's own value), and both — same warmup-cosine recipe.
+    v2w = arms["av_v2_warmup"]
+
+    def _with_dropout(cfg, rate):
+        return dataclasses.replace(
+            cfg,
+            audio_encoder=dataclasses.replace(cfg.audio_encoder,
+                                              dropout_rate=rate),
+            video_encoder=dataclasses.replace(cfg.video_encoder,
+                                              dropout_rate=rate),
+            decoder=dataclasses.replace(cfg.decoder, dropout_rate=rate),
+        )
+
+    arms["av_v2_ls"] = dataclasses.replace(
+        v2w, train=dataclasses.replace(v2w.train, label_smoothing=0.1))
+    arms["av_v2_do"] = _with_dropout(v2w, 0.1)
+    arms["av_v2_reg"] = dataclasses.replace(
+        _with_dropout(v2w, 0.1),
+        train=dataclasses.replace(v2w.train, label_smoothing=0.1))
+    # Attribution + promotion candidate: av_fast_novdim (parity-PASS) with
+    # ONLY the decoder swapped to the transformer (the bench sweep's
+    # fastest arm structure, xa_tr_xfdec, sans vdim).  Parity here
+    # isolates the decoder from the transformer ENCODERS (v2's other
+    # half) and gates a further flagship promotion (~18.9 ms measured
+    # with vdim).  Keeps the recurrent arms' plain constant-lr recipe
+    # first; a warmup variant can follow if the decoder needs it.
+    fn = arms["av_fast_novdim"]
+    arms["av_fast_xfdec"] = dataclasses.replace(
+        fn,
+        decoder=dataclasses.replace(
+            fn.decoder, decoder_type="transformer", num_heads=4),
+    )
+    arms["av_fast_xfdec_warmup"] = dataclasses.replace(
+        arms["av_fast_xfdec"],
+        train=dataclasses.replace(fn.train, lr_schedule="warmup_cosine",
+                                  warmup_steps=400, learning_rate=2e-3,
+                                  num_epochs=150),
+    )
     return arms
 
 
