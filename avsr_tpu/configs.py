@@ -564,11 +564,14 @@ def lrs2_av_v2() -> ExperimentConfig:
     unvalidated, measure against lrs2_av_align on your data before
     adopting.  No scheduled sampling (rejected for the parallel decoder).
     Training recipe (held-out campaign, RESULTS.md "v2 quality
-    follow-up 2"): warmup-cosine is REQUIRED (constant lr plateaus) and
-    this preset's dropout 0.1 is load-bearing (cuts the held-out CER gap
-    ~3x); label smoothing measurably HURT CER on that corpus."""
+    follow-up 2"): warmup-cosine is REQUIRED (constant lr plateaus) —
+    this preset now ships it — and this preset's dropout 0.1 is
+    load-bearing (cuts the held-out CER gap ~3x); label smoothing
+    measurably HURT CER on that corpus."""
     base = lrs2_full()
     return base.replace(
+        train=dataclasses.replace(
+            base.train, lr_schedule="warmup_cosine", warmup_steps=400),
         audio_encoder=EncoderConfig(
             hidden_units=(512, 512, 512), encoder_type="transformer",
             num_heads=8, dropout_rate=0.1,
@@ -593,26 +596,36 @@ def lrs2_av_v2() -> ExperimentConfig:
 
 def lrs2_av_fast() -> ExperimentConfig:
     """Fast AV preset (opt-in extension): the reference's recurrent
-    encoders and decoder with the two measured same-quality-class speed
-    levers stacked — multi-head cross-attention fusion in place of the
-    AV-Align fusion scan (the 12.7 ms component-budget leader; −27%
-    alone) and the (1,2,2) pyramidal audio time reduction (−46% alone;
-    standard LAS subsampling).  Both levers attack the fusion/decoder
-    memory-bandwidth floor: one removes the per-step Bahdanau energy
-    scan, the other quarters the memory length it streams.  Quality
-    gates: combined overfit suite (tests/test_time_reduction.py
-    ``test_overfit_fast_combo``) plus the round-4 held-out quality
-    campaign (CAMPAIGN.json arm ``av_fast_novdim``: ordering AND parity
-    vs the reference mechanism, width-10 beam, full noise matrix).  The
-    campaign showed the 256-dim value down-projection FAILS held-out
-    parity (arm ``av_fast``: +0.03-0.04 absolute CER on every
-    condition), so this preset does NOT project the attention values —
-    ``memory_value_dim`` stays an opt-in perf knob for users who
-    re-validate it on their corpus.  Scheduled sampling, beam decode,
-    serving, and the data pipeline are identical to lrs2_av_align.
-    Measured numbers live in BENCH_variants.json (arm ``xa_tr_novdim``;
-    the dims here match that benched arm exactly — fusion per-head dim
-    128 x 4 heads, full-width values)."""
+    encoders with the three measured quality-gated speed levers stacked —
+    multi-head cross-attention fusion in place of the AV-Align fusion
+    scan (the 12.7 ms component-budget leader; −27% alone), the (1,2,2)
+    pyramidal audio time reduction (−46% alone; standard LAS
+    subsampling), and the parallel-teacher-forcing transformer decoder
+    (round 4 promotion #2).  The levers attack the fusion/decoder
+    memory-bandwidth + sequential-scan floors: the fusion lever removes
+    the per-step Bahdanau energy scan, time reduction quarters the
+    memory length streamed per step, and the transformer decoder removes
+    the last per-label-step scan from training.  Quality gates: combined
+    overfit suites (tests/test_time_reduction.py ``test_overfit_fast_
+    combo`` / ``test_overfit_fast_xfdec_combo``) plus the round-4
+    held-out quality campaign (CAMPAIGN.json arms ``av_fast_novdim`` and
+    ``av_fast_xfdec_warmup``: ordering AND parity vs the reference
+    mechanism, width-10 beam, full noise matrix — the xfdec arm matches
+    or beats av_ref on every condition).  The campaign showed the
+    256-dim value down-projection FAILS held-out parity (arm
+    ``av_fast``: +0.03-0.04 absolute CER on every condition), so this
+    preset does NOT project the attention values.  Training recipe: the
+    transformer decoder REQUIRES warmup-cosine (constant lr left it 5-8x
+    worse held-out; RESULTS.md "Promotion candidate #2"), which this
+    preset ships; scheduled sampling does not apply to the parallel
+    decoder (the recurrent-decoder variant of this stack is one
+    ``decoder.decoder_type="rnn"`` override away and is equally
+    parity-gated, arm ``av_fast_novdim``).  Beam/greedy decode, serving,
+    and the data pipeline are identical to lrs2_av_align (KV-cache
+    decode through the same engines).  Measured numbers live in
+    BENCH_variants.json (arm ``xa_tr_xfdec_novdim``, 19.14 ms/step at
+    B=128 — the dims here match that benched arm exactly: fusion
+    per-head dim 128 x 4 heads, full-width values)."""
     base = lrs2_full()
     return base.replace(
         audio_encoder=dataclasses.replace(
@@ -621,6 +634,11 @@ def lrs2_av_fast() -> ExperimentConfig:
             fusion_type="cross_attention", num_heads=4, attention_units=128,
             au_loss_weight=10.0,
         ),
+        decoder=dataclasses.replace(
+            base.decoder, decoder_type="transformer", num_heads=4,
+            sampling_probability=0.0),
+        train=dataclasses.replace(
+            base.train, lr_schedule="warmup_cosine", warmup_steps=400),
         name="lrs2_av_fast",
     )
 

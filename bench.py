@@ -14,12 +14,14 @@ Timing protocol notes (hard-won, see CLAUDE.md):
     latency to every step.
 
 Benched model (round 4): the ``lrs2_av_fast`` preset config — recurrent
-encoders/decoder with cross-attention fusion + (1,2,2) pyramidal time
-reduction, full-width attention values — the fastest arm that holds the
-corpus-scale quality gates (CAMPAIGN.json: held-out noise-matrix CER at
-width-10 beam, ordering AND parity vs the reference mechanism; the
-value-projected arm ran faster but FAILED held-out parity and was not
-promoted; RESULTS.md round 4).  The same run ALSO measures the
+encoders with cross-attention fusion + (1,2,2) pyramidal time reduction +
+parallel-teacher-forcing transformer decoder, full-width attention
+values — the fastest arm that holds the corpus-scale quality gates
+(CAMPAIGN.json arm ``av_fast_xfdec_warmup``: held-out noise-matrix CER at
+width-10 beam, ordering AND parity vs the reference mechanism — at or
+better than av_ref on every condition; the value-projected arms ran
+faster in round 3 but FAILED held-out parity and were not promoted;
+RESULTS.md round 4).  The same run ALSO measures the
 reference-dims parity model (paper dims, AV-Align fusion scan, no value
 projection) and reports it in the same JSON line under
 ``reference_dims`` — the honest parity-dims number next to the headline.
@@ -96,9 +98,10 @@ def _build_cfg(var, name: str):
 
 def _promoted_variant():
     """The benched flagship: lrs2_av_fast's structure at bench dims
-    (= sweep arm ``xa_tr_novdim``; campaign-gated, see module
-    docstring — the vdim-projected ``xa_tr`` arm failed held-out
-    parity, CAMPAIGN.json)."""
+    (= sweep arm ``xa_tr_xfdec_novdim``, 19.14 ms; campaign-gated via
+    arm ``av_fast_xfdec_warmup``, see module docstring — the
+    vdim-projected arms ran faster but failed held-out parity,
+    CAMPAIGN.json)."""
     from avsr_tpu.configs import EncoderConfig
     from avsr_tpu.utils.bench_knobs import BenchVariant
 
@@ -112,7 +115,7 @@ def _promoted_variant():
                                     time_reduction=(1, 2, 2)),
         video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
         fusion_type="cross_attention",
-        decoder_type="rnn",
+        decoder_type="transformer",
     )
 
 

@@ -243,3 +243,41 @@ def test_export_av_fast_combo_beam(tmp_path, data):
     got = pred.transcribe(audio=[u.waveform for u in data[:2]],
                           video=[u.video for u in data[:2]])
     assert got == [want[u.uid] for u in data[:2]]
+
+
+def test_export_av_fast_xfdec_beam(tmp_path, data):
+    """Serving export of the PROMOTED lrs2_av_fast structure (round 4
+    promotion #2: cross-attention fusion over a time-reduced audio
+    memory feeding the transformer decoder): the artifact's KV-cache
+    beam transcriptions must match live predict()."""
+    import dataclasses
+
+    from avsr_tpu.configs import EncoderConfig
+
+    avsr = _tiny_avsr(tmp_path, data, architecture="av_align")
+    cfg = dataclasses.replace(
+        avsr.config,
+        audio_encoder=EncoderConfig(hidden_units=(16, 16),
+                                    time_reduction=(1, 2),
+                                    dropout_rate=0.0),
+        fusion=dataclasses.replace(avsr.config.fusion,
+                                   fusion_type="cross_attention",
+                                   num_heads=2, attention_units=12),
+        decoder=dataclasses.replace(avsr.config.decoder,
+                                    decoder_type="transformer", num_heads=2,
+                                    sampling_probability=0.0,
+                                    sampling_ramp_steps=0),
+    )
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "run_fast_xf"),
+                train_utterances=data, eval_utterances=data)
+    avsr.train(num_epochs=1)
+    want = dict(avsr.predict(data[:2], use_beam=True))
+
+    out = export_serving_artifact(
+        avsr, str(tmp_path / "artifact_fast_xf"), use_beam=True,
+        batch_size=2, audio_seconds=0.5,
+    )
+    pred = Predictor.load(out)
+    got = pred.transcribe(audio=[u.waveform for u in data[:2]],
+                          video=[u.video for u in data[:2]])
+    assert got == [want[u.uid] for u in data[:2]]

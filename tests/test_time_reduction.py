@@ -228,3 +228,40 @@ def test_overfit_fast_combo(tmp_path):
     avsr.train(num_epochs=cfg.train.num_epochs)
     summary = avsr.evaluate(use_beam=True)
     assert summary["cer"] < 0.35, summary
+
+
+def test_overfit_fast_xfdec_combo(tmp_path):
+    """Quality gate for the PROMOTED lrs2_av_fast stack (round 4
+    promotion #2): cross-attention fusion consuming a time-reduced audio
+    memory feeding the parallel teacher-forcing transformer DECODER —
+    the preset's exact combination at overfit scale, trained with the
+    warmup-cosine recipe the held-out campaign showed the transformer
+    decoder requires (CAMPAIGN.json arm ``av_fast_xfdec_warmup``), and
+    decoded through KV-cache beam search."""
+    import dataclasses
+
+    from avsr_tpu.avsr import AVSR
+    from avsr_tpu.configs import EncoderConfig
+    from tests.test_train_loop import overfit_config, synth
+
+    data = synth()
+    cfg = overfit_config("av_align", str(tmp_path), epochs=60)
+    cfg = dataclasses.replace(
+        cfg,
+        audio_encoder=EncoderConfig(
+            hidden_units=(48, 48), time_reduction=(1, 2),
+            bidirectional=True, dropout_rate=0.0,
+        ),
+        fusion=dataclasses.replace(cfg.fusion, fusion_type="cross_attention",
+                                   num_heads=2, attention_units=12),
+        decoder=dataclasses.replace(cfg.decoder, decoder_type="transformer",
+                                    num_heads=2, sampling_probability=0.0,
+                                    sampling_ramp_steps=0),
+        train=dataclasses.replace(cfg.train, lr_schedule="warmup_cosine",
+                                  warmup_steps=40),
+    )
+    avsr = AVSR(config=cfg, run_dir=str(tmp_path / "runfastxf"),
+                train_utterances=data, eval_utterances=data)
+    avsr.train(num_epochs=cfg.train.num_epochs)
+    summary = avsr.evaluate(use_beam=True)
+    assert summary["cer"] < 0.35, summary
