@@ -133,6 +133,15 @@ class EncoderConfig:
     # Transformer-only knobs.
     num_heads: int = 4
     ff_multiplier: int = 4
+    # Conformer-style convolution module (arXiv:2005.08100; transformer
+    # encoders only): odd kernel width of a masked depthwise time-conv
+    # block (pre-LN -> pointwise GLU -> depthwise conv -> LN + swish ->
+    # pointwise, residual) inserted between each layer's self-attention
+    # and feed-forward blocks.  Restores the LOCAL inductive bias the
+    # recurrent encoders have and pure self-attention lacks — the
+    # measured source of the v2 family's held-out CER gap (RESULTS.md
+    # round-4 campaign).  None = plain transformer.
+    conv_kernel: Optional[int] = None
     # Pyramidal time reduction (Listen-Attend-Spell, arXiv:1508.01211; NOT
     # in the reference — opt-in extension): one factor per layer, applied
     # to that layer's INPUT by concatenating r consecutive frames

@@ -75,6 +75,11 @@ def encoder_init(key, cfg: EncoderConfig, input_dim: int, dtype=jnp.float32) -> 
         return transformer_encoder_init(key, cfg, input_dim, dtype)
     if cfg.encoder_type != "rnn":
         raise ValueError(f"unknown encoder_type {cfg.encoder_type!r}")
+    if cfg.conv_kernel is not None:
+        raise ValueError(
+            "EncoderConfig.conv_kernel is transformer-only (the conformer "
+            "conv module); the RNN stack is already local"
+        )
     layers = []
     d = input_dim
     keys = jax.random.split(key, len(cfg.hidden_units))

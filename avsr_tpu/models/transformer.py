@@ -74,6 +74,14 @@ def validate_transformer_config(cfg: EncoderConfig) -> int:
             "recurrent_dropout_rate is RNN-only; use dropout_rate for the "
             "transformer's residual-branch dropout"
         )
+    if cfg.conv_kernel is not None:
+        k = cfg.conv_kernel
+        if k < 3 or k % 2 == 0:
+            raise ValueError(
+                f"conv_kernel must be an odd width >= 3 (got {k}): the "
+                "depthwise conv is centered so valid positions stay "
+                "pad-horizon-invariant"
+            )
     return d
 
 
@@ -101,7 +109,7 @@ def transformer_encoder_init(
     }
     ff = cfg.ff_multiplier * d
     for i in range(n_layers):
-        ks = jax.random.split(keys[i + 1], 7)
+        ks = jax.random.split(keys[i + 1], 10)
         layer: Params = {
             "ln1_scale": jnp.ones((d,), dtype),
             "ln1_bias": jnp.zeros((d,), dtype),
@@ -116,6 +124,19 @@ def transformer_encoder_init(
             "ff_w2": glorot_uniform(ks[5], (ff, d), dtype),
             "ff_b2": jnp.zeros((d,), dtype),
         }
+        if cfg.conv_kernel is not None:
+            # conformer conv module: pointwise GLU -> depthwise -> pointwise
+            k = cfg.conv_kernel
+            layer["conv_ln_scale"] = jnp.ones((d,), dtype)
+            layer["conv_ln_bias"] = jnp.zeros((d,), dtype)
+            layer["conv_w_in"] = glorot_uniform(ks[7], (d, 2 * d), dtype)
+            layer["conv_b_in"] = jnp.zeros((2 * d,), dtype)
+            # depthwise kernel [k, 1, d] (WIO layout, feature_group_count=d)
+            layer["conv_dw"] = glorot_uniform(ks[8], (k, 1, d), dtype)
+            layer["conv_dw_ln_scale"] = jnp.ones((d,), dtype)
+            layer["conv_dw_ln_bias"] = jnp.zeros((d,), dtype)
+            layer["conv_w_out"] = glorot_uniform(ks[9], (d, d), dtype)
+            layer["conv_b_out"] = jnp.zeros((d,), dtype)
         if i > 0 and reductions[i] > 1:
             # pyramid fold between layers: r*d -> d re-projection
             layer["fold"] = glorot_uniform(ks[6], (reductions[i] * d, d),
@@ -177,7 +198,7 @@ def transformer_encoder_apply(
             )
         Tl, B = h.shape[0], h.shape[1]
         if train and drop > 0.0:
-            dropout_rng, k_att, k_ff = jax.random.split(dropout_rng, 3)
+            dropout_rng, k_att, k_ff, k_conv = jax.random.split(dropout_rng, 4)
 
         # -- self-attention block (pre-LN) --
         y = _layer_norm(h, layer["ln1_scale"], layer["ln1_bias"]).astype(cdt)
@@ -205,6 +226,41 @@ def transformer_encoder_apply(
         if train and drop > 0.0:
             att = _dropout(att, drop, k_att)
         h = h + att
+
+        # -- conformer conv module (pre-LN), between attention and FF --
+        if cfg.conv_kernel is not None:
+            y = _layer_norm(h, layer["conv_ln_scale"], layer["conv_ln_bias"])
+            # Padded positions of h carry residual garbage between layers
+            # (only the FINAL output is masked); attention never reads them
+            # (padded KEYS are masked) but a time-conv WOULD — so the conv
+            # branch masks its input, and again after the biased pointwise
+            # (whose bias un-zeroes padded rows).  Out-of-range neighbors
+            # then contribute exact zeros, keeping valid outputs invariant
+            # to the pad horizon (tests/test_transformer_encoder.py).
+            y = (y * mask[:, :, None]).astype(cdt)
+            g = y @ layer["conv_w_in"].astype(cdt) + layer["conv_b_in"].astype(cdt)
+            a, b_gate = jnp.split(g, 2, axis=-1)
+            y = a * jax.nn.sigmoid(b_gate)  # GLU
+            y = y * mask[:, :, None].astype(cdt)
+            yb = jnp.transpose(y, (1, 0, 2))  # [B, T, d]
+            yb = jax.lax.conv_general_dilated(
+                yb,
+                layer["conv_dw"].astype(cdt),
+                window_strides=(1,),
+                padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=d,
+                preferred_element_type=jnp.float32,
+            )
+            y = jnp.transpose(yb, (1, 0, 2))  # [T, B, d] fp32
+            y = _layer_norm(y, layer["conv_dw_ln_scale"],
+                            layer["conv_dw_ln_bias"])
+            y = y * jax.nn.sigmoid(y)  # swish
+            y = (y.astype(cdt) @ layer["conv_w_out"].astype(cdt)
+                 + layer["conv_b_out"].astype(cdt)).astype(jnp.float32)
+            if train and drop > 0.0:
+                y = _dropout(y, drop, k_conv)
+            h = h + y
 
         # -- feed-forward block (pre-LN) --
         y = _layer_norm(h, layer["ln2_scale"], layer["ln2_bias"]).astype(cdt)
