@@ -52,6 +52,13 @@ def _encoder_flops(cfg_enc, batch: int, steps: int, input_dim: int):
             total += 2 * 2.0 * batch * steps * dm * (
                 cfg_enc.ff_multiplier * dm
             )
+            if cfg_enc.conv_kernel is not None:
+                # conformer conv module: pointwise GLU in-proj [d, 2d],
+                # depthwise time-conv (k MACs per channel per step),
+                # pointwise out-proj [d, d]
+                total += 2.0 * batch * steps * dm * 2 * dm
+                total += 2.0 * batch * steps * cfg_enc.conv_kernel * dm
+                total += 2.0 * batch * steps * dm * dm
             d = dm
         return total, steps
     for h, r in zip(cfg_enc.hidden_units, time_reductions(cfg_enc)):

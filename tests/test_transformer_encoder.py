@@ -102,6 +102,117 @@ def test_time_reduction_with_transformer():
     assert "fold" in params["layers"][1] and "fold" not in params["layers"][0]
 
 
+def test_conv_kernel_validation():
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match="odd width"):
+        enc.encoder_init(key, _cfg(conv_kernel=4), 8)
+    with pytest.raises(ValueError, match="odd width"):
+        enc.encoder_init(key, _cfg(conv_kernel=1), 8)
+    with pytest.raises(ValueError, match="transformer-only"):
+        enc.encoder_init(
+            key, EncoderConfig(hidden_units=(8,), conv_kernel=3), 8
+        )
+
+
+def test_conv_params_only_when_enabled():
+    plain = enc.encoder_init(jax.random.PRNGKey(1), _cfg(), input_dim=6)
+    conv = enc.encoder_init(jax.random.PRNGKey(1), _cfg(conv_kernel=3),
+                            input_dim=6)
+    assert "conv_dw" not in plain["layers"][0]
+    layer = conv["layers"][0]
+    assert layer["conv_dw"].shape == (3, 1, 16)
+    assert layer["conv_w_in"].shape == (16, 32)
+    assert layer["conv_w_out"].shape == (16, 16)
+
+
+def test_conv_padding_invariance_and_padded_steps_zero():
+    """The depthwise time-conv reads NEIGHBOR frames, so this is the
+    invariant the module's input masking exists for: identical valid
+    outputs under a longer pad horizon, padded output steps exactly 0."""
+    cfg = _cfg(conv_kernel=5)
+    params = enc.encoder_init(jax.random.PRNGKey(2), cfg, input_dim=6)
+    rng = np.random.default_rng(1)
+    lens = jnp.asarray([7, 4], jnp.int32)
+    base = rng.standard_normal((7, 2, 6)).astype(np.float32)
+    base[4:, 1] = 0.0
+    outs = []
+    for T in (7, 13):
+        x = np.zeros((T, 2, 6), np.float32)
+        x[:7] = base
+        out, _ = enc.encoder_apply(
+            params, cfg, jnp.asarray(x), lens, compute_dtype=jnp.float32
+        )
+        out = np.asarray(out)
+        for b, L in enumerate([7, 4]):
+            assert np.all(out[L:, b] == 0.0)
+            assert np.any(out[:L, b] != 0.0)
+        outs.append(out)
+    np.testing.assert_allclose(outs[0][:7], outs[1][:7], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_conv_changes_output_and_uses_neighbors():
+    """With the conv module the output at step t must depend on frame
+    t-1 (the RNN-like local coupling pure self-attention lacks only
+    through content, not position)."""
+    cfg = _cfg(conv_kernel=3)
+    params = enc.encoder_init(jax.random.PRNGKey(3), cfg, input_dim=6)
+    rng = np.random.default_rng(2)
+    T, B = 8, 1
+    lens = jnp.asarray([T], jnp.int32)
+    x = rng.standard_normal((T, B, 6)).astype(np.float32)
+    out_a, _ = enc.encoder_apply(params, cfg, jnp.asarray(x), lens,
+                                 compute_dtype=jnp.float32)
+    x2 = x.copy()
+    x2[3] += 1.0  # perturb ONE frame
+    out_b, _ = enc.encoder_apply(params, cfg, jnp.asarray(x2), lens,
+                                 compute_dtype=jnp.float32)
+    # neighbors of the perturbed frame move (depthwise conv), and they
+    # move by more than the attention-only leak to distant frames
+    d_neigh = float(np.abs(np.asarray(out_b - out_a)[4, 0]).max())
+    d_far = float(np.abs(np.asarray(out_b - out_a)[7, 0]).max())
+    assert d_neigh > 0.0 and d_neigh > d_far
+
+
+def test_conv_end_to_end_grads():
+    cfg = tiny_config("audio")
+    cfg = cfg.replace(
+        audio_encoder=EncoderConfig(
+            hidden_units=(16, 16), encoder_type="transformer", num_heads=4,
+            conv_kernel=3, dropout_rate=0.1,
+        )
+    )
+    params = seq2seq.model_init(jax.random.PRNGKey(5), cfg, VOCAB)
+    batch = tiny_batch("audio", np.random.default_rng(4))
+    loss, grads = jax.jit(
+        jax.value_and_grad(
+            lambda p, b: seq2seq.loss_fn(p, cfg, b, train=True,
+                                         rng=jax.random.PRNGKey(0))[0]
+        )
+    )(params, batch)
+    assert np.isfinite(float(loss))
+    for layer in grads["audio_encoder"]["layers"]:
+        for k in ("conv_dw", "conv_w_in", "conv_w_out"):
+            g = np.asarray(layer[k])
+            assert np.all(np.isfinite(g)) and np.abs(g).max() > 0.0
+
+
+def test_conv_flops_accounted():
+    from avsr_tpu.utils.flops import train_step_flops
+
+    base = tiny_config("audio").replace(
+        audio_encoder=EncoderConfig(hidden_units=(16, 16),
+                                    encoder_type="transformer", num_heads=4)
+    )
+    conv = base.replace(
+        audio_encoder=dataclasses.replace(base.audio_encoder, conv_kernel=7)
+    )
+    kw = dict(batch=8, audio_samples=16000, video_frames=25, label_len=20,
+              vocab=30)
+    assert (train_step_flops(conv, **kw)["audio_encoder"]
+            > train_step_flops(base, **kw)["audio_encoder"])
+
+
 @pytest.mark.parametrize("arch", ["audio", "av_align"])
 def test_end_to_end_loss_and_grads(arch):
     cfg = tiny_config(arch)

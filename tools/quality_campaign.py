@@ -190,6 +190,20 @@ def add_v2_warmup(arms):
     arms["av_v2_reg"] = dataclasses.replace(
         _with_dropout(v2w, 0.1),
         train=dataclasses.replace(v2w.train, label_smoothing=0.1))
+    # Round-4 follow-up 3: av_v2_do (the best v2 arm — dropout 0.1, FAIL
+    # by only .001-.015 CER) still lacks the LOCAL inductive bias the
+    # recurrent encoders get for free.  This arm adds the conformer-style
+    # depthwise time-conv module (EncoderConfig.conv_kernel,
+    # models/transformer.py) to both transformer encoders — the direct
+    # test of "the residual v2 gap = missing locality".  Kernel 7 at the
+    # corpus's ~33 Hz stacked-frame rate ≈ 210 ms of context (audio);
+    # 7 video frames at 25 fps ≈ 280 ms.
+    v2do = arms["av_v2_do"]
+    arms["av_v2_conv"] = dataclasses.replace(
+        v2do,
+        audio_encoder=dataclasses.replace(v2do.audio_encoder, conv_kernel=7),
+        video_encoder=dataclasses.replace(v2do.video_encoder, conv_kernel=7),
+    )
     # Attribution + promotion candidate: av_fast_novdim (parity-PASS) with
     # ONLY the decoder swapped to the transformer (the bench sweep's
     # fastest arm structure, xa_tr_xfdec, sans vdim).  Parity here
