@@ -569,29 +569,35 @@ def lrs2_av_v2() -> ExperimentConfig:
     component budget).  Same data pipeline, losses, beam decode engines,
     and serving as lrs2_av_align; quality gates: overfit suites
     (tests/test_transformer_encoder.py, tests/test_cross_attention_
-    fusion.py, tests/test_transformer_decoder.py) — corpus-scale WER
-    unvalidated, measure against lrs2_av_align on your data before
-    adopting.  No scheduled sampling (rejected for the parallel decoder).
-    Training recipe (held-out campaign, RESULTS.md "v2 quality
-    follow-up 2"): warmup-cosine is REQUIRED (constant lr plateaus) —
-    this preset now ships it — and this preset's dropout 0.1 is
-    load-bearing (cuts the held-out CER gap ~3x); label smoothing
-    measurably HURT CER on that corpus."""
+    fusion.py, tests/test_transformer_decoder.py) plus the round-4
+    held-out campaign (CAMPAIGN.json arms av_v2_*) — real-corpus WER
+    still unvalidated (no datasets in this environment), measure against
+    lrs2_av_align on your data before adopting.  No scheduled sampling
+    (rejected for the parallel decoder).  Training recipe (held-out
+    campaign, RESULTS.md "v2 quality follow-ups"): warmup-cosine is
+    REQUIRED (constant lr plateaus) — this preset ships it — dropout 0.1
+    is load-bearing (cuts the held-out CER gap ~3x), label smoothing
+    measurably HURT CER, and the conformer depthwise-conv module
+    (conv_kernel below, ~150 ms at the 100 Hz frame rate) closes the
+    remaining transformer-ENCODER gap: with it the campaign arms match
+    av_ref on clean and BEAT it at -5 dB (RESULTS.md "v2 quality
+    follow-up 3")."""
     base = lrs2_full()
     return base.replace(
         train=dataclasses.replace(
             base.train, lr_schedule="warmup_cosine", warmup_steps=400),
         audio_encoder=EncoderConfig(
             hidden_units=(512, 512, 512), encoder_type="transformer",
-            num_heads=8, dropout_rate=0.1,
+            num_heads=8, dropout_rate=0.1, conv_kernel=15,
         ),
         video_encoder=EncoderConfig(
             hidden_units=(512,), encoder_type="transformer", num_heads=8,
-            dropout_rate=0.1,
+            dropout_rate=0.1, conv_kernel=15,
         ),
         fusion=FusionConfig(
-            # per-head dim 128 x 4 heads = the benched v2_scanfree arm
-            # (BENCH_variants.json) — preset dims == measured dims.
+            # per-head dim 128 x 4 heads = the benched v2_scanfree /
+            # v2_conv arms (BENCH_variants.json) — preset dims ==
+            # measured dims (v2_conv adds this preset's conv_kernel=15).
             fusion_type="cross_attention", num_heads=4, attention_units=128,
             memory_value_dim=256, au_loss_weight=10.0,
         ),

@@ -14,6 +14,10 @@ Knobs:
   AVSR_BENCH_TIME_REDUCTION=1,2,2   audio_encoder.time_reduction
   AVSR_BENCH_XF=d,layers,heads      transformer AUDIO encoder
   AVSR_BENCH_XF_VIDEO=d,layers,heads  transformer VIDEO encoder
+  AVSR_BENCH_XF_CONV=K              conformer depthwise-conv module of odd
+                                    kernel K on every transformer encoder
+                                    (EncoderConfig.conv_kernel; ignored for
+                                    the RNN family)
   AVSR_BENCH_FUSION_TYPE=cross_attention  scan-free multi-head fusion
   AVSR_BENCH_DECODER_TYPE=transformer     parallel teacher-forcing decoder
                                     (forces sampling_probability=0)
@@ -49,9 +53,11 @@ class BenchVariant:
 
 def _xf_encoder(spec: str, time_reduction=None) -> EncoderConfig:
     d, layers, heads = (int(x) for x in spec.split(","))
+    conv_env = os.environ.get("AVSR_BENCH_XF_CONV", "")
     return EncoderConfig(
         hidden_units=(d,) * layers, encoder_type="transformer",
         num_heads=heads, dropout_rate=0.1, time_reduction=time_reduction,
+        conv_kernel=int(conv_env) if conv_env else None,
     )
 
 

@@ -93,6 +93,15 @@ ARMS = {
                     "AVSR_BENCH_XF_VIDEO": "512,1,8",
                     "AVSR_BENCH_FUSION_TYPE": "cross_attention",
                     "AVSR_BENCH_DECODER_TYPE": "transformer"},
+    # Round-4: the conformer depthwise-conv module (EncoderConfig.
+    # conv_kernel — the held-out campaign's v2 quality lever, arm
+    # av_v2_conv) priced at the benched v2 dims.  kernel 15 at the
+    # 100 Hz frame rate ~= 150 ms of local context.
+    "v2_conv": {"AVSR_BENCH_XF": "512,3,8",
+                "AVSR_BENCH_XF_VIDEO": "512,1,8",
+                "AVSR_BENCH_XF_CONV": "15",
+                "AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                "AVSR_BENCH_DECODER_TYPE": "transformer"},
     "time_reduction": {"AVSR_BENCH_TIME_REDUCTION": "1,2,2"},
     "xf_encoder": {"AVSR_BENCH_XF": "512,3,8"},
     "xa_fusion": {"AVSR_BENCH_FUSION_TYPE": "cross_attention"},

@@ -204,6 +204,15 @@ def add_v2_warmup(arms):
         audio_encoder=dataclasses.replace(v2do.audio_encoder, conv_kernel=7),
         video_encoder=dataclasses.replace(v2do.video_encoder, conv_kernel=7),
     )
+    # Kernel-width confirmation arm: kernel 15 ~= 450 ms at the corpus's
+    # ~33 Hz frame rate (the kernel-7 arm missed 10 dB parity by 0.0001
+    # CER and beat av_ref at -5 dB — a second width tests robustness of
+    # the locality win, not just one lucky kernel).
+    arms["av_v2_conv15"] = dataclasses.replace(
+        v2do,
+        audio_encoder=dataclasses.replace(v2do.audio_encoder, conv_kernel=15),
+        video_encoder=dataclasses.replace(v2do.video_encoder, conv_kernel=15),
+    )
     # Attribution + promotion candidate: av_fast_novdim (parity-PASS) with
     # ONLY the decoder swapped to the transformer (the bench sweep's
     # fastest arm structure, xa_tr_xfdec, sans vdim).  Parity here
