@@ -243,6 +243,10 @@ def transformer_encoder_apply(
             y = a * jax.nn.sigmoid(b_gate)  # GLU
             y = y * mask[:, :, None].astype(cdt)
             yb = jnp.transpose(y, (1, 0, 2))  # [B, T, d]
+            # No preferred_element_type upcast: its transpose rule feeds
+            # the f32 cotangent into a mixed-dtype conv under grad
+            # (TypeError); the k-tap depthwise sum is fine in compute
+            # dtype — the LN right after renormalizes.
             yb = jax.lax.conv_general_dilated(
                 yb,
                 layer["conv_dw"].astype(cdt),
@@ -250,9 +254,8 @@ def transformer_encoder_apply(
                 padding="SAME",
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 feature_group_count=d,
-                preferred_element_type=jnp.float32,
             )
-            y = jnp.transpose(yb, (1, 0, 2))  # [T, B, d] fp32
+            y = jnp.transpose(yb, (1, 0, 2)).astype(jnp.float32)
             y = _layer_norm(y, layer["conv_dw_ln_scale"],
                             layer["conv_dw_ln_bias"])
             y = y * jax.nn.sigmoid(y)  # swish

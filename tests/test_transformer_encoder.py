@@ -197,6 +197,28 @@ def test_conv_end_to_end_grads():
             assert np.all(np.isfinite(g)) and np.abs(g).max() > 0.0
 
 
+def test_conv_grads_under_bf16_compute():
+    """Regression: preferred_element_type=f32 on the depthwise conv broke
+    its transpose rule under bf16 compute (mixed-dtype conv in the
+    backward pass) — the TPU train path is bf16, the other conv tests
+    run fp32, so this pins the bf16 grad specifically."""
+    cfg = _cfg(conv_kernel=3)
+    params = enc.encoder_init(jax.random.PRNGKey(7), cfg, input_dim=6)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((9, 3, 6)),
+                    jnp.float32)
+    lens = jnp.asarray([9, 5, 2], jnp.int32)
+
+    def f(p):
+        out, _ = enc.encoder_apply(p, cfg, x, lens,
+                                   compute_dtype=jnp.bfloat16)
+        return out.sum()
+
+    grads = jax.jit(jax.grad(f))(params)
+    for k in ("conv_dw", "conv_w_in", "conv_w_out"):
+        g = np.asarray(grads["layers"][0][k], np.float32)
+        assert np.all(np.isfinite(g)) and np.abs(g).max() > 0.0
+
+
 def test_conv_flops_accounted():
     from avsr_tpu.utils.flops import train_step_flops
 
