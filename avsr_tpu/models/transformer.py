@@ -242,20 +242,23 @@ def transformer_encoder_apply(
             a, b_gate = jnp.split(g, 2, axis=-1)
             y = a * jax.nn.sigmoid(b_gate)  # GLU
             y = y * mask[:, :, None].astype(cdt)
-            yb = jnp.transpose(y, (1, 0, 2))  # [B, T, d]
-            # No preferred_element_type upcast: its transpose rule feeds
-            # the f32 cotangent into a mixed-dtype conv under grad
-            # (TypeError); the k-tap depthwise sum is fine in compute
-            # dtype — the LN right after renormalizes.
+            # The k-tap depthwise sum runs in f32 — BOTH operands cast, so
+            # forward and transpose (grad) convs stay homogeneous-dtype
+            # (preferred_element_type=f32 on bf16 operands broke the
+            # transpose rule: f32 cotangent x bf16 kernel = mixed-dtype
+            # conv TypeError).  f32 here costs ~nothing (the conv is
+            # <<1% of step FLOPs) and keeps accumulation exact, matching
+            # the fp32 CPU campaign that quality-gated the module.
+            yb = jnp.transpose(y, (1, 0, 2)).astype(jnp.float32)  # [B, T, d]
             yb = jax.lax.conv_general_dilated(
                 yb,
-                layer["conv_dw"].astype(cdt),
+                layer["conv_dw"].astype(jnp.float32),
                 window_strides=(1,),
                 padding="SAME",
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 feature_group_count=d,
             )
-            y = jnp.transpose(yb, (1, 0, 2)).astype(jnp.float32)
+            y = jnp.transpose(yb, (1, 0, 2))
             y = _layer_norm(y, layer["conv_dw_ln_scale"],
                             layer["conv_dw_ln_bias"])
             y = y * jax.nn.sigmoid(y)  # swish

@@ -232,11 +232,16 @@ def test_uneven_batch_over_mesh_fails_loudly(tmp_path):
         )
 
 
-def test_tp_train_step_matches_single_device_v2_family(rng):
+@pytest.mark.parametrize("conv_kernel", [None, 5])
+def test_tp_train_step_matches_single_device_v2_family(rng, conv_kernel):
     """Same DP+TP == single-device bar for the scan-free v2 family
     (transformer encoders + cross-attention fusion + transformer
     decoder): the generic output-dim TP pspec rules must remain
-    numerics-preserving on the new parameter families."""
+    numerics-preserving on the new parameter families.  The
+    conv_kernel=5 case pins the conformer conv module's parameters
+    (conv_w_in [d,2d] GLU split, conv_dw [k,1,d] depthwise, conv_w_out)
+    under the same model-axis sharding — the shipped lrs2_av_v2 preset
+    runs this program whenever num_model_shards > 1."""
     import dataclasses
 
     from avsr_tpu.configs import DecoderConfig, EncoderConfig
@@ -247,10 +252,12 @@ def test_tp_train_step_matches_single_device_v2_family(rng):
     cfg = cfg.replace(
         audio_encoder=EncoderConfig(hidden_units=(16, 16),
                                     encoder_type="transformer", num_heads=4,
-                                    dropout_rate=0.0),
+                                    dropout_rate=0.0,
+                                    conv_kernel=conv_kernel),
         video_encoder=EncoderConfig(hidden_units=(16,),
                                     encoder_type="transformer", num_heads=4,
-                                    dropout_rate=0.0),
+                                    dropout_rate=0.0,
+                                    conv_kernel=conv_kernel),
         fusion=dataclasses.replace(cfg.fusion, fusion_type="cross_attention",
                                    num_heads=2),
         decoder=DecoderConfig(
