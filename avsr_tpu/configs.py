@@ -578,10 +578,15 @@ def lrs2_av_v2() -> ExperimentConfig:
     REQUIRED (constant lr plateaus) — this preset ships it — dropout 0.1
     is load-bearing (cuts the held-out CER gap ~3x), label smoothing
     measurably HURT CER, and the conformer depthwise-conv module
-    (conv_kernel below, ~150 ms at the 100 Hz frame rate) closes the
+    (conv_kernel below; lrs2_full ships frame_skipping=3, so the
+    encoder runs at ~33 Hz and 15 taps span ~450 ms — exactly the
+    receptive field the validated campaign arm ran) closes the
     remaining transformer-ENCODER gap: with it the campaign arms match
     av_ref on clean and BEAT it at -5 dB (RESULTS.md "v2 quality
-    follow-up 3")."""
+    follow-up 3").  Checkpoint compat: conv_kernel adds conv_* params
+    to every encoder layer, so checkpoints trained under the pre-conv
+    preset restore only with a ``conv_kernel=None`` override on both
+    encoders (orbax restores by param-tree structure)."""
     base = lrs2_full()
     return base.replace(
         train=dataclasses.replace(

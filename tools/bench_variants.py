@@ -33,6 +33,35 @@ import time
 ARMS = {
     # ordered by information value: unmeasured arms first (flagship and
     # reference_dims are already pinned at 42.0 / 47.0 ms in RESULTS.md).
+    # ---- round-5 arms (VERDICT r4 next #1/#7) ----
+    # (a) THE fully scan-free flagship candidate: conv15 (the quality
+    # lever that made v2 pass held-out parity) + time reduction + matched
+    # capacity (d=384) + dh=64 (the free MFU lever) + NO value projection
+    # (vdim failed the held-out gate) — the composition of every round-4
+    # keep decision.  Campaign gate: arm av_v2_conv15_tr.
+    "v2_conv_tr_h6": {"AVSR_BENCH_XF": "384,3,6",
+                      "AVSR_BENCH_XF_VIDEO": "384,1,6",
+                      "AVSR_BENCH_XF_CONV": "15",
+                      "AVSR_BENCH_TIME_REDUCTION": "1,2,2",
+                      "AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                      "AVSR_BENCH_DECODER_TYPE": "transformer",
+                      "AVSR_BENCH_FUSION_VDIM": "0",
+                      "AVSR_BENCH_DECODER_VDIM": "0"},
+    # (b) the width lever at equal quality: WIDER-but-shallower (d=512 x 2
+    # audio layers vs 384 x 3 above; ~equal FLOPs since 2x512^2 ~= 3x384^2),
+    # dh=64 (8 heads), same conv15+tr+novdim recipe.  time_reduction
+    # (2,2) keeps the TOTAL factor at 4 so the fusion/decoder memory
+    # length matches the h6 arm — the A/B isolates encoder width.  The
+    # round-4 MFU analysis says wide matmuls tile the 128x128 MXU
+    # better; this prices that claim at ~equal capacity.
+    "v2_conv_tr_w512l2": {"AVSR_BENCH_XF": "512,2,8",
+                          "AVSR_BENCH_XF_VIDEO": "512,1,8",
+                          "AVSR_BENCH_XF_CONV": "15",
+                          "AVSR_BENCH_TIME_REDUCTION": "2,2",
+                          "AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                          "AVSR_BENCH_DECODER_TYPE": "transformer",
+                          "AVSR_BENCH_FUSION_VDIM": "0",
+                          "AVSR_BENCH_DECODER_VDIM": "0"},
     # Round-4 top-end arms (VERDICT r3 next #3): (a) v2 at MATCHED
     # capacity — d_model scaled 512 -> 384 so model FLOPs/step land at the
     # flagship's ~1.3 TFLOP (2.31 x (384/512)^2 ~= 1.30), replacing the

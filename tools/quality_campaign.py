@@ -232,6 +232,29 @@ def add_v2_warmup(arms):
                                   warmup_steps=400, learning_rate=2e-3,
                                   num_epochs=150),
     )
+    # ---- round-5 arms (VERDICT r4 next #1/#3) ----
+    # The fully scan-free flagship candidate: av_v2_conv15 (the round-4
+    # parity-PASS arm) + pyramidal time reduction — the composition the
+    # TPU sweep prices as v2_conv_tr_h6.  (2,) halves the ~33 Hz frame
+    # rate before the single campaign-dims encoder layer, the same
+    # mechanism the preset's (1,2,2) applies at full dims.  Parity here
+    # gates promoting the first flagship with NO lax.scan anywhere.
+    c15 = arms["av_v2_conv15"]
+    arms["av_v2_conv15_tr"] = dataclasses.replace(
+        c15,
+        audio_encoder=dataclasses.replace(c15.audio_encoder,
+                                          time_reduction=(2,)),
+    )
+    # Preset-vs-gate mismatch probe: lrs2_av_v2 ships memory_value_dim=256
+    # (ratio 0.5 of d=512) but every parity-passing campaign arm ran WITHOUT
+    # the value projection, and the fast family's campaign REJECTED vdim.
+    # This arm tests vdim at the same 0.5 ratio (24 of d=48) on the
+    # conv15 recipe: keep vdim in the preset only if it passes.
+    arms["av_v2_conv15_vdim"] = dataclasses.replace(
+        c15,
+        fusion=dataclasses.replace(c15.fusion, memory_value_dim=24),
+        decoder=dataclasses.replace(c15.decoder, memory_value_dim=24),
+    )
     return arms
 
 
