@@ -34,8 +34,10 @@ this host (round 4, tools/baseline_tf1.py; artifact BASELINE_tf1.json):
 a TF1 graph-mode AV-Align train step at these exact shapes — in-graph
 tf.signal frontend, dynamic_rnn BiLSTM encoders, hand-rolled
 AttentionWrapper fusion/decoder, per-step session.run — peaks at 1,083
-10ms-frames/s at B=64 on this 1-core CPU (970 at B=16; the best batch
-size is used, generous to the baseline).  BASELINE.json records
+10ms-frames/s at B=64 on this 1-core CPU (970 at B=16; the best of ALL
+runs is used, generous to the baseline — a round-5 uncontended rerun
+measured 823.5, so 1,083 is a ceiling for TF1 and vs_baseline a floor
+for us).  BASELINE.json records
 ``"published": {}`` (SURVEY.md §6), so this measured stand-in IS the
 operative ">=5x TF1-CPU" denominator.
 
@@ -50,7 +52,7 @@ import time
 
 import numpy as np
 
-TF1_CPU_BASELINE_FPS = 1083.0  # measured: BASELINE_tf1.json
+TF1_CPU_BASELINE_FPS = 1083.0  # measured best-of-runs: BASELINE_tf1.json
 
 # LRS2-scale config [BASELINE.json:configs[4]]: ~6 s utterances, char vocab.
 BATCH = 128
