@@ -583,10 +583,18 @@ def lrs2_av_v2() -> ExperimentConfig:
     receptive field the validated campaign arm ran) closes the
     remaining transformer-ENCODER gap: with it the campaign arms match
     av_ref on clean and BEAT it at -5 dB (RESULTS.md "v2 quality
-    follow-up 3").  Checkpoint compat: conv_kernel adds conv_* params
-    to every encoder layer, so checkpoints trained under the pre-conv
-    preset restore only with a ``conv_kernel=None`` override on both
-    encoders (orbax restores by param-tree structure)."""
+    follow-up 3").  The 256-dim attention value down-projection was
+    REMOVED in round 5: the held-out campaign rejected it on three
+    recipes (fast family, and the conv15 recipe at this preset's own
+    0.5 ratio — CAMPAIGN.json arm av_v2_conv15_vdim, parity FAIL), so
+    the preset now matches its parity-passing gated arm
+    (av_v2_conv15) knob for knob.  Checkpoint compat: conv_kernel adds
+    conv_* params to every encoder layer and dropping memory_value_dim
+    removes the fusion/decoder value-projection params, so checkpoints
+    trained under the pre-round-5 preset restore only with
+    ``conv_kernel=None`` (both encoders) and/or ``memory_value_dim=256``
+    (fusion + decoder) overrides (orbax restores by param-tree
+    structure)."""
     base = lrs2_full()
     return base.replace(
         train=dataclasses.replace(
@@ -601,14 +609,19 @@ def lrs2_av_v2() -> ExperimentConfig:
         ),
         fusion=FusionConfig(
             # per-head dim 128 x 4 heads = the benched v2_scanfree /
-            # v2_conv arms (BENCH_variants.json) — preset dims ==
-            # measured dims (v2_conv adds this preset's conv_kernel=15).
+            # v2_conv arms (BENCH_variants.json; v2_conv adds this
+            # preset's conv_kernel=15).  NO memory_value_dim: the
+            # held-out campaign rejected the value down-projection on
+            # THREE recipes — fast family (round 4), and the conv15
+            # recipe at this preset's own 0.5 ratio (round 5 arm
+            # av_v2_conv15_vdim: parity FAIL) — so the preset matches
+            # its parity-passing gated arm (av_v2_conv15) knob for knob.
             fusion_type="cross_attention", num_heads=4, attention_units=128,
-            memory_value_dim=256, au_loss_weight=10.0,
+            au_loss_weight=10.0,
         ),
         decoder=DecoderConfig(
             decoder_type="transformer", hidden_units=(256,), num_heads=4,
-            max_label_length=150, memory_value_dim=256,
+            max_label_length=150,
         ),
         name="lrs2_av_v2",
     )

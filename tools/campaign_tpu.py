@@ -18,10 +18,12 @@ gated dims, knob for knob):
   audio           lrs2_av_align dims, architecture="audio" (ordering anchor)
   av_ref          lrs2_av_align — the reference mechanism (parity anchor)
   av_fast         lrs2_av_fast AS SHIPPED (the benched flagship)
-  av_v2           lrs2_av_v2 AS SHIPPED (incl. memory_value_dim=256 — the
-                  knob its CPU gate never tested; VERDICT r4 weak #1)
-  av_v2_novdim    lrs2_av_v2 minus the value projections (the structure
-                  the CPU campaign actually validated)
+  av_v2           lrs2_av_v2 AS SHIPPED (round 5: NO memory_value_dim —
+                  the structure the CPU campaign validated, arm
+                  av_v2_conv15)
+  av_v2_vdim      + memory_value_dim=256 (the pre-round-5 preset config;
+                  preset-dims probe of the knob the toy-dims campaign
+                  rejected on three recipes — VERDICT r4 weak #1)
   av_v2_tr_h6     the scan-free flagship CANDIDATE: d=384, 6 heads
                   (dh=64), conv15, (1,2,2) time reduction, no vdim —
                   bench arm v2_conv_tr_h6 / CPU arm av_v2_conv15_tr
@@ -65,8 +67,8 @@ NOISY = ["0dB", "-5dB"]
 
 def build_arms(epochs: int):
     from avsr_tpu.configs import (
-        DataConfig, DecodeConfig, DecoderConfig, EncoderConfig,
-        FusionConfig, NoiseConfig, lrs2_av_fast, lrs2_av_v2, lrs2_full,
+        DataConfig, DecodeConfig, EncoderConfig,
+        NoiseConfig, lrs2_av_fast, lrs2_av_v2, lrs2_full,
     )
 
     def campaignize(cfg, name):
@@ -101,12 +103,10 @@ def build_arms(epochs: int):
             time_reduction=tr,
         )
 
-    novdim_fusion = FusionConfig(
-        fusion_type="cross_attention", num_heads=4, attention_units=128,
-        au_loss_weight=10.0,
-    )
-    novdim_decoder = dataclasses.replace(
-        v2.decoder, memory_value_dim=None)
+    # v2 ships WITHOUT the value projections since round 5; the vdim
+    # probe arm re-adds them at the pre-round-5 preset's 256 (0.5 ratio).
+    vdim_fusion = dataclasses.replace(v2.fusion, memory_value_dim=256)
+    vdim_decoder = dataclasses.replace(v2.decoder, memory_value_dim=256)
 
     return {
         "audio": dataclasses.replace(
@@ -114,18 +114,18 @@ def build_arms(epochs: int):
         "av_ref": ref,
         "av_fast": campaignize(lrs2_av_fast(), "ctpu_av_fast"),
         "av_v2": v2,
-        "av_v2_novdim": v2.replace(
-            fusion=novdim_fusion, decoder=novdim_decoder,
-            name="ctpu_av_v2_novdim"),
+        "av_v2_vdim": v2.replace(
+            fusion=vdim_fusion, decoder=vdim_decoder,
+            name="ctpu_av_v2_vdim"),
         "av_v2_tr_h6": v2.replace(
             audio_encoder=xf_enc(384, 3, 6, tr=(1, 2, 2)),
             video_encoder=xf_enc(384, 1, 6),
-            fusion=novdim_fusion, decoder=novdim_decoder,
+            fusion=v2.fusion, decoder=v2.decoder,
             name="ctpu_av_v2_tr_h6"),
         "av_v2_w512l2": v2.replace(
             audio_encoder=xf_enc(512, 2, 8, tr=(2, 2)),
             video_encoder=xf_enc(512, 1, 8),
-            fusion=novdim_fusion, decoder=novdim_decoder,
+            fusion=v2.fusion, decoder=v2.decoder,
             name="ctpu_av_v2_w512l2"),
     }
 
