@@ -131,6 +131,30 @@ ARMS = {
                 "AVSR_BENCH_XF_CONV": "15",
                 "AVSR_BENCH_FUSION_TYPE": "cross_attention",
                 "AVSR_BENCH_DECODER_TYPE": "transformer"},
+    # Round-5: lrs2_av_v2 AS SHIPPED after the vdim drop (conv15, no
+    # value projections) — preset dims == benched dims again.
+    "v2_conv_novdim": {"AVSR_BENCH_XF": "512,3,8",
+                       "AVSR_BENCH_XF_VIDEO": "512,1,8",
+                       "AVSR_BENCH_XF_CONV": "15",
+                       "AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                       "AVSR_BENCH_DECODER_TYPE": "transformer",
+                       "AVSR_BENCH_FUSION_VDIM": "0",
+                       "AVSR_BENCH_DECODER_VDIM": "0"},
+    # Round-5: pyramid PLACEMENT on the promoted flagship — layer 1 of
+    # the audio BiLSTM is the budget's largest slice (6.9 ms backward)
+    # and (1,2,2) leaves it at full rate.  (2,2,1) keeps the total
+    # factor (memory rate unchanged — same fusion/decoder quality
+    # surface); (2,2,2) deepens it to 8.
+    "xa_tr221_xfdec": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                       "AVSR_BENCH_TIME_REDUCTION": "2,2,1",
+                       "AVSR_BENCH_DECODER_TYPE": "transformer",
+                       "AVSR_BENCH_FUSION_VDIM": "0",
+                       "AVSR_BENCH_DECODER_VDIM": "0"},
+    "xa_tr222_xfdec": {"AVSR_BENCH_FUSION_TYPE": "cross_attention",
+                       "AVSR_BENCH_TIME_REDUCTION": "2,2,2",
+                       "AVSR_BENCH_DECODER_TYPE": "transformer",
+                       "AVSR_BENCH_FUSION_VDIM": "0",
+                       "AVSR_BENCH_DECODER_VDIM": "0"},
     "time_reduction": {"AVSR_BENCH_TIME_REDUCTION": "1,2,2"},
     "xf_encoder": {"AVSR_BENCH_XF": "512,3,8"},
     "xa_fusion": {"AVSR_BENCH_FUSION_TYPE": "cross_attention"},

@@ -255,6 +255,28 @@ def add_v2_warmup(arms):
         fusion=dataclasses.replace(c15.fusion, memory_value_dim=24),
         decoder=dataclasses.replace(c15.decoder, memory_value_dim=24),
     )
+    # ---- round-5 arms #2: the flagship's last measured lever ----
+    # The round-4 component budget (RESULTS.md 4b) puts the audio BiLSTM
+    # backward at 6.9 ms of the flagship's 19.1 — and its layer 1 still
+    # scans at FULL frame rate under (1,2,2).  Two placements of the
+    # pyramid, both on the promoted flagship's structure + recipe
+    # (av_fast_xfdec_warmup):
+    #   tr21 — (2,1): reduction moved BEFORE layer 1, same total factor
+    #          (memory rate and the whole fusion/decoder quality surface
+    #          unchanged); only layer 1's input becomes stacked frames.
+    #   tr22 — (2,2): deeper pyramid, total factor 4 — memory at
+    #          ~8.3 Hz = ~1 frame/char on this corpus (the riskier arm).
+    fxw = arms["av_fast_xfdec_warmup"]
+    arms["av_fast_tr21"] = dataclasses.replace(
+        fxw,
+        audio_encoder=dataclasses.replace(fxw.audio_encoder,
+                                          time_reduction=(2, 1)),
+    )
+    arms["av_fast_tr22"] = dataclasses.replace(
+        fxw,
+        audio_encoder=dataclasses.replace(fxw.audio_encoder,
+                                          time_reduction=(2, 2)),
+    )
     return arms
 
 
