@@ -18,6 +18,10 @@ gated dims, knob for knob):
   audio           lrs2_av_align dims, architecture="audio" (ordering anchor)
   av_ref          lrs2_av_align — the reference mechanism (parity anchor)
   av_fast         lrs2_av_fast AS SHIPPED (the benched flagship)
+  av_fast_tr221   flagship with the audio pyramid moved early, (2,2,1) —
+                  same total factor/memory rate; toy gate av_fast_tr21
+  av_fast_tr222   deeper (2,2,2) pyramid (~4 Hz memory at preset dims —
+                  the risky arm); toy gate av_fast_tr22
   av_v2           lrs2_av_v2 AS SHIPPED (round 5: NO memory_value_dim —
                   the structure the CPU campaign validated, arm
                   av_v2_conv15)
@@ -108,11 +112,26 @@ def build_arms(epochs: int):
     vdim_fusion = dataclasses.replace(v2.fusion, memory_value_dim=256)
     vdim_decoder = dataclasses.replace(v2.decoder, memory_value_dim=256)
 
+    # Round-5 pyramid-placement candidates on the shipped flagship
+    # (toy gates av_fast_tr21/av_fast_tr22 both PASS — tr22 is the best
+    # toy arm on file).  tr221 keeps the flagship's total factor 4
+    # (identical memory rate, ~8 Hz at frame_skipping=3); tr222 deepens
+    # to 8 (~4 Hz memory — the risky arm, gate before any promotion).
+    fast = campaignize(lrs2_av_fast(), "ctpu_av_fast")
+
+    def fast_tr(tr, name):
+        return fast.replace(
+            audio_encoder=dataclasses.replace(
+                fast.audio_encoder, time_reduction=tr),
+            name=name)
+
     return {
         "audio": dataclasses.replace(
             campaignize(lrs2_full(), "ctpu_audio"), architecture="audio"),
         "av_ref": ref,
-        "av_fast": campaignize(lrs2_av_fast(), "ctpu_av_fast"),
+        "av_fast": fast,
+        "av_fast_tr221": fast_tr((2, 2, 1), "ctpu_av_fast_tr221"),
+        "av_fast_tr222": fast_tr((2, 2, 2), "ctpu_av_fast_tr222"),
         "av_v2": v2,
         "av_v2_vdim": v2.replace(
             fusion=vdim_fusion, decoder=vdim_decoder,
