@@ -631,38 +631,48 @@ def lrs2_av_fast() -> ExperimentConfig:
     """Fast AV preset (opt-in extension): the reference's recurrent
     encoders with the three measured quality-gated speed levers stacked —
     multi-head cross-attention fusion in place of the AV-Align fusion
-    scan (the 12.7 ms component-budget leader; −27% alone), the (1,2,2)
-    pyramidal audio time reduction (−46% alone; standard LAS
-    subsampling), and the parallel-teacher-forcing transformer decoder
-    (round 4 promotion #2).  The levers attack the fusion/decoder
-    memory-bandwidth + sequential-scan floors: the fusion lever removes
-    the per-step Bahdanau energy scan, time reduction quarters the
-    memory length streamed per step, and the transformer decoder removes
-    the last per-label-step scan from training.  Quality gates: combined
-    overfit suites (tests/test_time_reduction.py ``test_overfit_fast_
-    combo`` / ``test_overfit_fast_xfdec_combo``) plus the round-4
-    held-out quality campaign (CAMPAIGN.json arms ``av_fast_novdim`` and
-    ``av_fast_xfdec_warmup``: ordering AND parity vs the reference
-    mechanism, width-10 beam, full noise matrix — the xfdec arm matches
-    or beats av_ref on every condition).  The campaign showed the
-    256-dim value down-projection FAILS held-out parity (arm
-    ``av_fast``: +0.03-0.04 absolute CER on every condition), so this
-    preset does NOT project the attention values.  Training recipe: the
-    transformer decoder REQUIRES warmup-cosine (constant lr left it 5-8x
-    worse held-out; RESULTS.md "Promotion candidate #2"), which this
-    preset ships; scheduled sampling does not apply to the parallel
-    decoder (the recurrent-decoder variant of this stack is one
+    scan (the 12.7 ms component-budget leader; −27% alone), the (2,2,1)
+    pyramidal audio time reduction (early placement — round 5; standard
+    LAS subsampling), and the parallel-teacher-forcing transformer
+    decoder (round 4 promotion #2).  The levers attack the
+    fusion/decoder memory-bandwidth + sequential-scan floors: the fusion
+    lever removes the per-step Bahdanau energy scan, time reduction
+    quarters the memory length streamed per step, and the transformer
+    decoder removes the last per-label-step scan from training.  The
+    pyramid's EARLY placement halves layer 1 of the audio BiLSTM — the
+    component budget's single largest slice — at the SAME total factor
+    (the attention memory rate is identical to the (1,2,2) placement);
+    it measured 16.14 ms/step vs 19.14 and BEAT both av_ref and the
+    (1,2,2) flagship on every noise condition in the preset-dims
+    on-chip campaign (CAMPAIGN_TPU.json arm ``av_fast_tr221``).
+    Quality gates: combined overfit suites (tests/test_time_reduction.py
+    ``test_overfit_fast_combo`` / ``test_overfit_fast_xfdec_combo``),
+    the toy-dims held-out campaign (CAMPAIGN.json arms
+    ``av_fast_xfdec_warmup`` and ``av_fast_tr21``), and the preset-dims
+    on-chip campaign (CAMPAIGN_TPU.json ``av_fast`` / ``av_fast_tr221``:
+    ordering AND parity vs the reference mechanism, width-10 beam, full
+    noise matrix).  The campaign showed the 256-dim value
+    down-projection FAILS held-out parity (arm ``av_fast``: +0.03-0.04
+    absolute CER on every condition), so this preset does NOT project
+    the attention values.  Training recipe: the transformer decoder
+    REQUIRES warmup-cosine (constant lr left it 5-8x worse held-out;
+    RESULTS.md "Promotion candidate #2"), which this preset ships;
+    scheduled sampling does not apply to the parallel decoder (the
+    recurrent-decoder variant of this stack is one
     ``decoder.decoder_type="rnn"`` override away and is equally
     parity-gated, arm ``av_fast_novdim``).  Beam/greedy decode, serving,
     and the data pipeline are identical to lrs2_av_align (KV-cache
     decode through the same engines).  Measured numbers live in
-    BENCH_variants.json (arm ``xa_tr_xfdec_novdim``, 19.14 ms/step at
+    BENCH_variants.json (arm ``xa_tr221_xfdec``, 16.14 ms/step at
     B=128 — the dims here match that benched arm exactly: fusion
-    per-head dim 128 x 4 heads, full-width values)."""
+    per-head dim 128 x 4 heads, full-width values).  Checkpoint compat:
+    the placement change alters layer 1's input width (2-stacked
+    frames), so checkpoints trained under the (1,2,2) preset restore
+    only with a ``time_reduction=(1,2,2)`` override."""
     base = lrs2_full()
     return base.replace(
         audio_encoder=dataclasses.replace(
-            base.audio_encoder, time_reduction=(1, 2, 2)),
+            base.audio_encoder, time_reduction=(2, 2, 1)),
         fusion=FusionConfig(
             fusion_type="cross_attention", num_heads=4, attention_units=128,
             au_loss_weight=10.0,

@@ -13,15 +13,17 @@ Timing protocol notes (hard-won, see CLAUDE.md):
     runs (no per-step sync).  Per-step-synced timing would charge the relay
     latency to every step.
 
-Benched model (round 4): the ``lrs2_av_fast`` preset config — recurrent
-encoders with cross-attention fusion + (1,2,2) pyramidal time reduction +
-parallel-teacher-forcing transformer decoder, full-width attention
-values — the fastest arm that holds the corpus-scale quality gates
-(CAMPAIGN.json arm ``av_fast_xfdec_warmup``: held-out noise-matrix CER at
-width-10 beam, ordering AND parity vs the reference mechanism — at or
-better than av_ref on every condition; the value-projected arms ran
-faster in round 3 but FAILED held-out parity and were not promoted;
-RESULTS.md round 4).  The same run ALSO measures the
+Benched model (round 5): the ``lrs2_av_fast`` preset config — recurrent
+encoders with cross-attention fusion + (2,2,1) pyramidal time reduction
+(early placement: halves the full-rate BiLSTM layer 1 at the same total
+factor) + parallel-teacher-forcing transformer decoder, full-width
+attention values — the fastest arm that holds the corpus-scale quality
+gates (toy-dims CAMPAIGN.json arms ``av_fast_xfdec_warmup``/
+``av_fast_tr21`` AND preset-dims on-chip CAMPAIGN_TPU.json
+``av_fast_tr221``: held-out noise-matrix CER at width-10 beam, ordering
+AND parity vs the reference mechanism — at or better than av_ref on
+every condition; the value-projected arms ran faster in round 3 but
+FAILED held-out parity and were not promoted; RESULTS.md rounds 4-5).  The same run ALSO measures the
 reference-dims parity model (paper dims, AV-Align fusion scan, no value
 projection) and reports it in the same JSON line under
 ``reference_dims`` — the honest parity-dims number next to the headline.
@@ -100,10 +102,12 @@ def _build_cfg(var, name: str):
 
 def _promoted_variant():
     """The benched flagship: lrs2_av_fast's structure at bench dims
-    (= sweep arm ``xa_tr_xfdec_novdim``, 19.14 ms; campaign-gated via
-    arm ``av_fast_xfdec_warmup``, see module docstring — the
+    (= sweep arm ``xa_tr221_xfdec``, 16.14 ms; campaign-gated via toy
+    arms ``av_fast_xfdec_warmup``/``av_fast_tr21`` AND the preset-dims
+    on-chip campaign ``av_fast_tr221`` (CAMPAIGN_TPU.json) — the
     vdim-projected arms ran faster but failed held-out parity,
-    CAMPAIGN.json)."""
+    CAMPAIGN.json).  Round-5 placement: (2,2,1) halves the full-rate
+    BiLSTM layer 1 at the same total pyramid factor."""
     from avsr_tpu.configs import EncoderConfig
     from avsr_tpu.utils.bench_knobs import BenchVariant
 
@@ -111,10 +115,10 @@ def _promoted_variant():
         fuse_encoder_scans=False,
         fusion_value_dim=None,
         decoder_value_dim=None,
-        time_reduction=(1, 2, 2),
+        time_reduction=(2, 2, 1),
         audio_encoder=EncoderConfig(hidden_units=(256, 256, 256),
                                     bidirectional=True, dropout_rate=0.1,
-                                    time_reduction=(1, 2, 2)),
+                                    time_reduction=(2, 2, 1)),
         video_encoder=EncoderConfig(hidden_units=(256,), bidirectional=True),
         fusion_type="cross_attention",
         decoder_type="transformer",

@@ -232,12 +232,15 @@ def test_overfit_fast_combo(tmp_path):
 
 def test_overfit_fast_xfdec_combo(tmp_path):
     """Quality gate for the PROMOTED lrs2_av_fast stack (round 4
-    promotion #2): cross-attention fusion consuming a time-reduced audio
-    memory feeding the parallel teacher-forcing transformer DECODER —
-    the preset's exact combination at overfit scale, trained with the
-    warmup-cosine recipe the held-out campaign showed the transformer
-    decoder requires (CAMPAIGN.json arm ``av_fast_xfdec_warmup``), and
-    decoded through KV-cache beam search."""
+    promotion #2; round-5 placement update): cross-attention fusion
+    consuming a time-reduced audio memory feeding the parallel
+    teacher-forcing transformer DECODER — the preset's exact combination
+    at overfit scale, with the preset's EARLY pyramid placement
+    (reduction before layer 1, campaign arms av_fast_tr21 /
+    CAMPAIGN_TPU av_fast_tr221), trained with the warmup-cosine recipe
+    the held-out campaign showed the transformer decoder requires
+    (CAMPAIGN.json arm ``av_fast_xfdec_warmup``), and decoded through
+    KV-cache beam search."""
     import dataclasses
 
     from avsr_tpu.avsr import AVSR
@@ -249,7 +252,7 @@ def test_overfit_fast_xfdec_combo(tmp_path):
     cfg = dataclasses.replace(
         cfg,
         audio_encoder=EncoderConfig(
-            hidden_units=(48, 48), time_reduction=(1, 2),
+            hidden_units=(48, 48), time_reduction=(2, 1),
             bidirectional=True, dropout_rate=0.0,
         ),
         fusion=dataclasses.replace(cfg.fusion, fusion_type="cross_attention",
