@@ -583,7 +583,18 @@ def lrs2_av_v2() -> ExperimentConfig:
     receptive field the validated campaign arm ran) closes the
     remaining transformer-ENCODER gap: with it the campaign arms match
     av_ref on clean and BEAT it at -5 dB (RESULTS.md "v2 quality
-    follow-up 3").  The 256-dim attention value down-projection was
+    follow-up 3").  PRESET-DIMS status (round-5 on-chip campaign,
+    CAMPAIGN_TPU.json): this config passes the clean/10/0 dB parity
+    bounds but FAILS -5 dB (0.0843 vs bound 0.0573) — as does every
+    scan-free arm at preset dims; the recurrent families
+    (lrs2_av_align / lrs2_av_fast) pass everything.  Prefer
+    lrs2_av_fast unless you specifically want the scan-free program;
+    the family's best measured quality point is the av_v2_tr_h6
+    structure (d=384, dh=64, conv15, (1,2,2) time reduction: clean CER
+    0.0307 vs this preset's 0.0530, 26.63 vs 52.69 ms/step), which
+    still fails only the -5 dB bound — the family's open problem
+    (RESULTS.md round-5 campaign reading #4).  The 256-dim attention
+    value down-projection was
     REMOVED in round 5: the held-out campaign rejected it on three
     recipes (fast family, and the conv15 recipe at this preset's own
     0.5 ratio — CAMPAIGN.json arm av_v2_conv15_vdim, parity FAIL), so
