@@ -100,10 +100,10 @@ def build_arms(epochs: int):
 
     # The two round-5 composition arms share v2's training recipe
     # (warmup-cosine + dropout 0.1 + conv15) at the bench arms' dims.
-    def xf_enc(d, layers, heads, tr=None):
+    def xf_enc(d, layers, heads, tr=None, conv=15):
         return EncoderConfig(
             hidden_units=(d,) * layers, encoder_type="transformer",
-            num_heads=heads, dropout_rate=0.1, conv_kernel=15,
+            num_heads=heads, dropout_rate=0.1, conv_kernel=conv,
             time_reduction=tr,
         )
 
@@ -146,6 +146,18 @@ def build_arms(epochs: int):
             video_encoder=xf_enc(512, 1, 8),
             fusion=v2.fusion, decoder=v2.decoder,
             name="ctpu_av_v2_w512l2"),
+        # -5 dB probe: the campaign localized the scan-free family's
+        # failure to EXACTLY the harshest noise condition on its best
+        # structure (av_v2_tr_h6: passes clean/10/0, fails -5 dB by
+        # 0.008).  Hypothesis: conv15's ~450 ms local context cannot
+        # average noise the way the recurrent encoders' unbounded state
+        # can — k=31 (~940 ms at layer 1's 33 Hz) tests whether WIDER
+        # local context closes the gap at fixed everything-else.
+        "av_v2_tr_h6_c31": v2.replace(
+            audio_encoder=xf_enc(384, 3, 6, tr=(1, 2, 2), conv=31),
+            video_encoder=xf_enc(384, 1, 6, conv=31),
+            fusion=v2.fusion, decoder=v2.decoder,
+            name="ctpu_av_v2_tr_h6_c31"),
     }
 
 
