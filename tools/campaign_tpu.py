@@ -158,6 +158,19 @@ def build_arms(epochs: int):
             video_encoder=xf_enc(384, 1, 6, conv=31),
             fusion=v2.fusion, decoder=v2.decoder,
             name="ctpu_av_v2_tr_h6_c31"),
+        # -5 dB probe #2: DEPTH.  c31 killed the wider-context
+        # hypothesis (worse everywhere).  The recurrent encoders that DO
+        # pass -5 dB integrate over unbounded context through 3 stacked
+        # bidirectional layers; this arm gives the transformer stack one
+        # more layer (4 x d=384, dh=64, conv15, pyramid extended (1,2,2,1)
+        # so the memory rate is unchanged) — if depth closes the -5 dB
+        # gap the scan-free family is fixed; if not, the gap is
+        # architectural (attention-vs-recurrence under heavy noise).
+        "av_v2_tr_h6_d4": v2.replace(
+            audio_encoder=xf_enc(384, 4, 6, tr=(1, 2, 2, 1)),
+            video_encoder=xf_enc(384, 2, 6),
+            fusion=v2.fusion, decoder=v2.decoder,
+            name="ctpu_av_v2_tr_h6_d4"),
     }
 
 
